@@ -1,0 +1,111 @@
+"""Landing-point forward simulation — the hot loop, batched the TPU way.
+
+The reference runs up to ~16 sequential Python while-loops per frame
+(``calculate_expected_landing_point_x_for`` at ``physics.py:643-686``, called
+from the movement loop and after each collision, plus up to 6
+``expected_landing_point_x_when_power_hit`` sims per airborne computer,
+``physics.py:820-884``).  Two structural observations collapse all of that
+into ONE vectorized 7-lane loop per frame:
+
+1. The ball does not change during the player-movement loop, so the two
+   movement-loop predictor calls (``physics.py:313-316``) compute the same
+   value, and both players' power-hit candidate sims see the same ball —
+   and the candidate landing point depends only on (|x_dir|, y_dir, ball),
+   not on the player.  One 6-candidate sim serves both players.
+2. The post-collision recomputes (``physics.py:330-332``) write
+   ``expected_landing_point_x``, which is *always* overwritten by the next
+   frame's movement-loop recompute before any read (it appears in no
+   observation and the AI only reads it inside the movement loop).  They are
+   pure redundancy and are elided here.  Parity tests confirm this.
+
+Lane 0 simulates the full net rule of the main predictor (note: strict
+``y < 192`` top test, unlike the world step's ``<=``); lanes 1-6 simulate the
+power-hit variant whose net model only flips y_velocity — the original game's
+intentional "computer makes mistakes" physics (``physics.py:856-866``).
+
+The loop is a ``lax.while_loop`` over int32 vectors with an explicit done
+mask, so it vectorizes cleanly under vmap (iterations = max over the batch;
+typical trajectories land in ~25 iterations, hard cap 1000).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pikazoo_tpu.core import constants as C
+from pikazoo_tpu.core.state import BallState
+
+# Canonical candidate order (order "A", coin == 0): x_direction in (1, 0)
+# outer, y_direction in (-1, 0, 1) inner — reference loops at physics.py:796-797.
+CANDIDATE_X_DIRECTION = jnp.asarray([1, 1, 1, 0, 0, 0], jnp.int32)
+CANDIDATE_Y_DIRECTION = jnp.asarray([-1, 0, 1, -1, 0, 1], jnp.int32)
+# Order "B" (coin == 1): y_direction in (1, 0, -1) — indices into canonical.
+ORDER_A = jnp.asarray([0, 1, 2, 3, 4, 5], jnp.int32)
+ORDER_B = jnp.asarray([2, 1, 0, 5, 4, 3], jnp.int32)
+
+# Lane 0 uses the two-branch net rule; lanes 1-6 the power-hit (mistake) rule.
+_FULL_NET_RULE = jnp.asarray([1, 0, 0, 0, 0, 0, 0], jnp.int32)
+
+
+def landing_sims(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the 7-lane landing simulation for the current ball.
+
+    Returns ``(expected_landing_point_x, candidate_landing_x[6])``.
+    """
+    seven = lambda v: jnp.full((7,), v, jnp.int32)
+
+    x = seven(ball.x)
+    y = seven(ball.y)
+
+    # Power-hit candidate initial velocities (physics.py:841-845).
+    speed = (jnp.abs(CANDIDATE_X_DIRECTION) + 1) * 10
+    cand_vx = jnp.where(ball.x < C.GROUND_HALF_WIDTH, speed, -speed)
+    cand_vy = jnp.abs(ball.y_velocity) * CANDIDATE_Y_DIRECTION * 2
+    vx = jnp.concatenate([jnp.reshape(ball.x_velocity, (1,)), cand_vx])
+    vy = jnp.concatenate([jnp.reshape(ball.y_velocity, (1,)), cand_vy])
+
+    full_rule = _FULL_NET_RULE == 1
+
+    def cond(carry):
+        _, _, _, _, _, done, _ = carry
+        return jnp.any(~done)
+
+    def body(carry):
+        x, y, vx, vy, count, done, result = carry
+        count1 = count + 1
+
+        future_x = x + vx
+        vx1 = jnp.where((future_x < C.BALL_RADIUS) | (future_x > C.GROUND_WIDTH),
+                        -vx, vx)
+        vy1 = jnp.where(y + vy < 0, jnp.int32(1), vy)
+
+        at_net = (jnp.abs(x - C.GROUND_HALF_WIDTH) < C.NET_PILLAR_HALF_WIDTH) & \
+                 (y > C.NET_PILLAR_TOP_TOP_Y_COORD)
+        # Main predictor: strict < on the top band, side push-out below.
+        on_top = y < C.NET_PILLAR_TOP_BOTTOM_Y_COORD
+        flip_vy = at_net & (vy1 > 0) & (~full_rule | on_top)
+        vy2 = jnp.where(flip_vy, -vy1, vy1)
+        side_vx = jnp.where(x < C.GROUND_HALF_WIDTH, -jnp.abs(vx1), jnp.abs(vx1))
+        vx2 = jnp.where(at_net & full_rule & ~on_top, side_vx, vx1)
+
+        y1 = y + vy2
+        finished = (y1 > C.BALL_TOUCHING_GROUND_Y_COORD) | \
+                   (count1 >= C.INFINITE_LOOP_LIMIT)
+        # On the finishing iteration x is NOT advanced — the result is x at
+        # iteration entry (reference breaks before the x update).
+        live = ~done
+        result = jnp.where(live & finished, x, result)
+        x = jnp.where(live & ~finished, x + vx2, x)
+        y = jnp.where(live, y1, y)
+        vx = jnp.where(live, vx2, vx)
+        vy = jnp.where(live & ~finished, vy2 + 1, jnp.where(live, vy2, vy))
+        done = done | finished
+        return x, y, vx, vy, count1, done, result
+
+    init = (x, y, vx, vy, jnp.zeros((7,), jnp.int32),
+            jnp.zeros((7,), jnp.bool_), x)
+    *_, result = jax.lax.while_loop(cond, body, init)
+    return result[0], result[1:]

@@ -1,0 +1,283 @@
+"""The functional Pikachu Volleyball environment.
+
+This is the TPU-native counterpart of the reference's ``raw_env`` PettingZoo
+class (``pikazoo_env.py:72-248``): ``reset`` and ``step`` are pure, jit-able
+functions over an integer state pytree.  One call to :meth:`PikaZoo.step`
+advances one frame for both agents; ``jax.vmap`` runs B independent matches in
+lockstep and ``pikazoo_tpu.parallel`` shards them over a device mesh.
+
+Reference semantics preserved exactly (all verified frame-by-frame by the
+parity harness):
+
+* **Lazy round reset** (``pikazoo_env.py:176-180``): the scoring frame returns
+  the post-touch state; players/ball re-init at the *next* step's entry, which
+  is also when the boldness draws (and the serve draw, for ``serve="random"``)
+  are consumed.
+* **Scoring** by ``punch_effect_x < 216`` (``pikazoo_env.py:191``), zero-sum
+  +-1 rewards only on the scoring frame, termination when a score reaches
+  ``winning_score``.
+* **Persistent quirk fields**: diving_direction, lying_down_duration_left,
+  computer_where_to_stand_by, ball position history, rotation and the input
+  power-key latch all survive round (and full-game) resets, exactly like the
+  reference's partially-reset mutable objects.
+* **Auto reset** (batched-RL extension, on by default): when a game has
+  terminated, the next step's entry performs the equivalent of the reference's
+  ``reset()`` — scores zeroed, serve flag cleared — before stepping, so
+  vmapped lanes never stall.  Set ``auto_reset=False`` for strict PettingZoo
+  episode semantics (the compat layer does).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pikazoo_tpu.core import constants as C
+from pikazoo_tpu.core.engine import physics_step
+from pikazoo_tpu.core.input import decode_action
+from pikazoo_tpu.core.rng import DrawState, draw
+from pikazoo_tpu.core.state import (BallState, PlayerState, SoundEvents,
+                                    init_ball_construction,
+                                    init_player_construction,
+                                    round_init_ball, round_init_player)
+from pikazoo_tpu.envs.observations import assemble_obs
+
+SERVE_MODES = ("winner", "alternate", "random")
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Static environment configuration (hashable; safe as a jit closure).
+
+    Mirrors the reference constructor kwargs (``pikazoo_env.py:79-86``) plus
+    the batched-mode ``auto_reset`` switch."""
+
+    winning_score: int = 15
+    serve: str = "winner"
+    is_player1_computer: bool = False
+    is_player2_computer: bool = False
+    auto_reset: bool = True
+
+    def __post_init__(self):
+        if self.serve not in SERVE_MODES:
+            raise ValueError(f"serve must be one of {SERVE_MODES}")
+
+
+class EnvState(NamedTuple):
+    p1: PlayerState
+    p2: PlayerState
+    ball: BallState
+    power_hit_key_down_prev: jnp.ndarray  # (2,) int32 input latches
+    scores: jnp.ndarray  # (2,) int32
+    is_player2_serve: jnp.ndarray
+    round_ended: jnp.ndarray
+    game_ended: jnp.ndarray
+    step_count: jnp.ndarray
+    rng_key: jax.Array
+    draw_counter: jnp.ndarray
+
+
+class TimeStep(NamedTuple):
+    obs: jnp.ndarray  # (2, 35) int32, row 0 = player 1's view
+    rewards: jnp.ndarray  # (2,) int32, zero-sum
+    terminated: jnp.ndarray  # 0/1
+    round_ended: jnp.ndarray  # 0/1
+    scores: jnp.ndarray  # (2,) int32
+    touched_ground: jnp.ndarray  # 0/1
+    sounds: SoundEvents
+
+
+class PikaZoo:
+    """Functional two-agent Pikachu Volleyball on TPU.
+
+    >>> env = PikaZoo(EnvConfig())
+    >>> state, ts = env.reset(jax.random.key(0))
+    >>> state, ts = jax.jit(env.step)(state, jnp.zeros(2, jnp.int32))
+    """
+
+    def __init__(self, config: EnvConfig = EnvConfig()):
+        self.config = config
+
+    # ------------------------------------------------------------- reset --
+    def reset(self, key: jax.Array, *, counter: int | jnp.ndarray = 0,
+              oracle: Optional[jax.Array] = None,
+              carry: Optional[EnvState] = None
+              ) -> Tuple[EnvState, TimeStep]:
+        """Start a new game.
+
+        ``carry`` preserves the reference's construction-vs-reset split: a
+        reference ``reset()`` re-initializes only part of the state, so fields
+        like diving_direction, the ball position history and the input latches
+        leak from the previous episode.  Pass the previous :class:`EnvState`
+        to reproduce that; omit it for a fresh construction.  ``counter`` (and
+        ``oracle``) seed the draw-slot stream — the parity harness uses them
+        to align with a recorded reference RNG trace.
+        """
+        if carry is None:
+            p1 = init_player_construction(is_player2=False)
+            p2 = init_player_construction(is_player2=True)
+            ball = init_ball_construction()
+            latch = jnp.zeros((2,), jnp.int32)
+        else:
+            clear = lambda p: p._replace(is_winner=jnp.int32(0),
+                                         game_ended=jnp.int32(0))
+            p1, p2, ball = clear(carry.p1), clear(carry.p2), carry.ball
+            latch = carry.power_hit_key_down_prev
+
+        scores = jnp.zeros((2,), jnp.int32)
+        is_player2_serve = jnp.int32(0)
+        ds = DrawState(key=key, counter=jnp.asarray(counter, jnp.int32),
+                       oracle=oracle)
+
+        true = jnp.bool_(True)
+        b1, ds = draw(ds, true, 5)
+        b2, ds = draw(ds, true, 5)
+        server, ds = self._get_server(ds, true, is_player2_serve, scores)
+
+        p1 = round_init_player(p1, true, b1, is_player2=False)
+        p2 = round_init_player(p2, true, b2, is_player2=True)
+        ball = round_init_ball(ball, true, server)
+
+        state = EnvState(
+            p1=p1, p2=p2, ball=ball,
+            power_hit_key_down_prev=latch,
+            scores=scores,
+            is_player2_serve=is_player2_serve,
+            round_ended=jnp.int32(0),
+            game_ended=jnp.int32(0),
+            step_count=jnp.int32(0),
+            rng_key=key,
+            draw_counter=ds.counter,
+        )
+        zero2 = jnp.zeros((2,), jnp.int32)
+        ts = TimeStep(
+            obs=assemble_obs(p1, p2, ball, latch),
+            rewards=zero2,
+            terminated=jnp.int32(0),
+            round_ended=jnp.int32(0),
+            scores=scores,
+            touched_ground=jnp.int32(0),
+            sounds=SoundEvents.none(),
+        )
+        return state, ts
+
+    # -------------------------------------------------------------- step --
+    def step(self, state: EnvState, actions: jnp.ndarray,
+             oracle: Optional[jax.Array] = None
+             ) -> Tuple[EnvState, TimeStep]:
+        """Advance one frame.  ``actions`` is ``(2,)`` int32 in [0, 18)."""
+        cfg = self.config
+        i32 = jnp.int32
+        ds = DrawState(key=state.rng_key, counter=state.draw_counter,
+                       oracle=oracle)
+
+        # --- lazy round / auto game reset at step entry ---
+        game_reset = (state.game_ended == 1) if cfg.auto_reset else jnp.bool_(False)
+        round_reset = (state.round_ended == 1) & (state.game_ended == 0)
+        do_init = round_reset | game_reset
+
+        scores = jnp.where(game_reset, jnp.zeros((2,), i32), state.scores)
+        is_player2_serve = jnp.where(game_reset, i32(0), state.is_player2_serve)
+        game_ended = jnp.where(game_reset, i32(0), state.game_ended)
+        clear = lambda p: p._replace(
+            is_winner=jnp.where(game_reset, i32(0), p.is_winner),
+            game_ended=jnp.where(game_reset, i32(0), p.game_ended))
+        p1, p2 = clear(state.p1), clear(state.p2)
+
+        b1, ds = draw(ds, do_init, 5)
+        b2, ds = draw(ds, do_init, 5)
+        server, ds = self._get_server(ds, do_init, is_player2_serve, scores)
+        p1 = round_init_player(p1, do_init, b1, is_player2=False)
+        p2 = round_init_player(p2, do_init, b2, is_player2=True)
+        ball = round_init_ball(state.ball, do_init, server)
+        round_ended = jnp.where(do_init, i32(0), state.round_ended)
+
+        # --- decode actions with edge detection (latch feeds obs 12/25) ---
+        inp1, latch1 = decode_action(actions[0], state.power_hit_key_down_prev[0])
+        inp2, latch2 = decode_action(actions[1], state.power_hit_key_down_prev[1])
+        latch = jnp.stack([latch1, latch2])
+
+        # --- physics frame ---
+        p1, p2, ball, touched, ds, sounds = physics_step(
+            p1, p2, ball, inp1, inp2, ds,
+            cfg.is_player1_computer, cfg.is_player2_computer)
+
+        # --- scoring (pikazoo_env.py:190-210) ---
+        score_event = (touched == 1) & (round_ended == 0) & (game_ended == 0)
+        p2_scored = ball.punch_effect_x < C.GROUND_HALF_WIDTH
+        delta = jnp.where(
+            score_event,
+            jnp.where(p2_scored, jnp.asarray([0, 1], i32),
+                      jnp.asarray([1, 0], i32)),
+            jnp.zeros((2,), i32))
+        scores = scores + delta
+        is_player2_serve = jnp.where(score_event, p2_scored.astype(i32),
+                                     is_player2_serve)
+        p1_won = score_event & (scores[0] >= cfg.winning_score) & ~p2_scored
+        p2_won = score_event & (scores[1] >= cfg.winning_score) & p2_scored
+        game_over_now = p1_won | p2_won
+        game_ended = jnp.where(game_over_now, i32(1), game_ended)
+        p1 = p1._replace(
+            is_winner=jnp.where(game_over_now, p1_won.astype(i32), p1.is_winner),
+            game_ended=jnp.where(game_over_now, i32(1), p1.game_ended))
+        p2 = p2._replace(
+            is_winner=jnp.where(game_over_now, p2_won.astype(i32), p2.is_winner),
+            game_ended=jnp.where(game_over_now, i32(1), p2.game_ended))
+        round_ended = jnp.where(score_event, i32(1), round_ended)
+
+        # --- rewards: zero-sum +-1 on the scoring frame ---
+        r1 = jnp.where(round_ended == 1,
+                       jnp.where(is_player2_serve == 1, i32(-1), i32(1)),
+                       i32(0))
+        rewards = jnp.stack([r1, -r1])
+
+        new_state = EnvState(
+            p1=p1, p2=p2, ball=ball,
+            power_hit_key_down_prev=latch,
+            scores=scores,
+            is_player2_serve=is_player2_serve,
+            round_ended=round_ended,
+            game_ended=game_ended,
+            step_count=state.step_count + 1,
+            rng_key=state.rng_key,
+            draw_counter=ds.counter,
+        )
+        ts = TimeStep(
+            obs=assemble_obs(p1, p2, ball, latch),
+            rewards=rewards,
+            terminated=game_ended,
+            round_ended=round_ended,
+            scores=scores,
+            touched_ground=touched,
+            sounds=sounds,
+        )
+        return new_state, ts
+
+    # ----------------------------------------------------------- helpers --
+    def _get_server(self, ds: DrawState, consume: jnp.ndarray,
+                    is_player2_serve: jnp.ndarray, scores: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, DrawState]:
+        """Serve selection (``pikazoo_env.py:242-248``); draws only in
+        ``random`` mode, after the boldness draws."""
+        if self.config.serve == "winner":
+            return is_player2_serve, ds
+        if self.config.serve == "alternate":
+            return ((scores[0] + scores[1]) % 2 == 1).astype(jnp.int32), ds
+        v, ds = draw(ds, consume, 2)
+        return (v == 0).astype(jnp.int32), ds
+
+    # Batched convenience API ------------------------------------------------
+    def reset_batch(self, key: jax.Array, batch_size: int
+                    ) -> Tuple[EnvState, TimeStep]:
+        """Reset ``batch_size`` independent matches with per-env folded keys."""
+        keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+            key, jnp.arange(batch_size))
+        return jax.vmap(lambda k: self.reset(k))(keys)
+
+    def step_batch(self, state: EnvState, actions: jnp.ndarray
+                   ) -> Tuple[EnvState, TimeStep]:
+        """Step a batch: ``actions`` is ``(B, 2)`` int32."""
+        return jax.vmap(self.step)(state, actions)
