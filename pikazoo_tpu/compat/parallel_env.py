@@ -1,0 +1,161 @@
+"""PettingZoo ``ParallelEnv`` adapter — the reference's exact API surface.
+
+A drop-in replacement for the reference ``pikazoo_v0.env(...)``
+(``pikazoo_env.py:27-29, 72-248``): same constructor kwargs, agent names,
+``Discrete(18)`` action spaces, ``Box`` int32 35-dim observation space with
+the same bounds, shared-mutable ``infos["score"]`` list, and agent-list
+lifecycle.  Internally it drives the jitted functional env at batch=1.
+
+Reproduced quirks:
+
+* ``reset(seed=...)`` **ignores its seed** — seeding happens only at
+  construction (reference ``pikazoo_env.py:149-173`` never re-seeds).  Pass
+  ``seed=`` to the constructor for reproducibility (an extension: the
+  reference can only autoseed).
+* State that the reference only initializes at construction (ball position
+  history, diving_direction, input latches, ...) leaks across ``reset()``
+  boundaries — the adapter carries the previous state into reset exactly as
+  the reference's partially-reset objects do.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pikazoo_tpu.envs import (NUM_ACTIONS, OBS_DIM, OBS_HIGH, OBS_LOW,
+                              EnvConfig, PikaZoo)
+from pikazoo_tpu.render import Renderer
+
+
+def env(**kwargs):
+    return raw_env(**kwargs)
+
+
+class raw_env:  # noqa: N801 — matches the reference class name
+    metadata = {
+        "render_modes": ["human", "rgb_array"],
+        "name": "pikazoo_v0",
+        "render_fps": 20,
+    }
+
+    def __init__(self, winning_score: int = 15, serve: str = "winner",
+                 is_player1_computer: bool = False,
+                 is_player2_computer: bool = False,
+                 render_mode: Optional[str] = None,
+                 seed: Optional[int] = None):
+        self.possible_agents = ["player_1", "player_2"]
+        self.agents = self.possible_agents[:]
+        self._config = EnvConfig(
+            winning_score=winning_score, serve=serve,
+            is_player1_computer=is_player1_computer,
+            is_player2_computer=is_player2_computer,
+            auto_reset=False)
+        self._env = PikaZoo(self._config)
+        self._step = jax.jit(self._env.step)
+        if seed is None:
+            seed = int(np.random.SeedSequence().entropy % (2 ** 63))
+        self._key = jax.random.key(seed)
+        self._episode_index = 0
+        self._state = None
+        self.scores = [0, 0]
+        self.render_mode = render_mode
+        self._renderer = Renderer(render_mode, seed=seed & 0xFFFFFFFF)
+        # Perform the reference's construction-time initialization so that a
+        # pre-reset step() (out of contract, but possible) sees sane state.
+        self._do_reset()
+
+    # ------------------------------------------------------------ spaces --
+    @functools.lru_cache(maxsize=None)
+    def observation_space(self, agent=None):
+        from gymnasium import spaces  # noqa: PLC0415
+        return spaces.Box(low=OBS_LOW, high=OBS_HIGH, shape=(OBS_DIM,),
+                          dtype=np.int32)
+
+    @functools.lru_cache(maxsize=None)
+    def action_space(self, agent=None):
+        from gymnasium import spaces  # noqa: PLC0415
+        return spaces.Discrete(NUM_ACTIONS)
+
+    # --------------------------------------------------------------- api --
+    def _do_reset(self):
+        key = jax.random.fold_in(self._key, self._episode_index)
+        self._episode_index += 1
+        self._state, ts = self._env.reset(key, carry=self._state)
+        return ts
+
+    def reset(self, seed=None, options=None):
+        # NOTE: ``seed`` ignored on purpose (reference quirk, see module doc).
+        del seed, options
+        self.agents = self.possible_agents[:]
+        self.scores[0] = 0
+        self.scores[1] = 0
+        ts = self._do_reset()
+        if self.render_mode == "human":
+            self.render()
+        return self._obs_dict(ts), self._infos()
+
+    def step(self, actions: Dict[str, int]):
+        acts = jnp.asarray([int(actions[a]) for a in self.agents], jnp.int32)
+        self._state, ts = self._step(self._state, acts)
+        scores = np.asarray(ts.scores)
+        self.scores[0] = int(scores[0])
+        self.scores[1] = int(scores[1])
+
+        if self.render_mode == "human":
+            self.render()
+
+        observations = self._obs_dict(ts)
+        r1 = int(np.asarray(ts.rewards)[0])
+        rewards = {self.agents[0]: r1, self.agents[1]: -r1}
+        terminated = bool(np.asarray(ts.terminated))
+        terminations = {agent: terminated for agent in self.agents}
+        truncations = {agent: False for agent in self.agents}
+        infos = self._infos()
+        if terminated:
+            self.agents = []
+        return observations, rewards, terminations, truncations, infos
+
+    def render(self):
+        if self.render_mode is None:
+            import gymnasium  # noqa: PLC0415
+            gymnasium.logger.warn(
+                "You are calling render method without specifying any "
+                "render mode.")
+            return None
+        return self._renderer.render(self._state)
+
+    def close(self):
+        self._renderer.close()
+
+    # ----------------------------------------------------------- helpers --
+    def _obs_dict(self, ts):
+        obs = np.asarray(ts.obs, np.int32)
+        return {"player_1": obs[0], "player_2": obs[1]}
+
+    def _infos(self):
+        # Shared mutable list, like the reference (consumers must copy).
+        return {agent: {"score": self.scores} for agent in self.agents}
+
+    # PettingZoo helpers some tools expect.
+    @property
+    def num_agents(self):
+        return len(self.agents)
+
+    @property
+    def max_num_agents(self):
+        return len(self.possible_agents)
+
+    def state(self):
+        raise NotImplementedError
+
+    def __str__(self):
+        return self.metadata["name"]
+
+    @property
+    def unwrapped(self):
+        return self

@@ -64,7 +64,7 @@ class ReferenceTrace:
 
     actions: np.ndarray  # (T, 2) int32 actions fed each step
     obs: np.ndarray  # (T+1, 2, 35) int32; index 0 is the reset obs
-    rewards: np.ndarray  # (T, 2) int32
+    rewards: np.ndarray  # (T, 2) float64 (int-valued unless a wrapper shapes them)
     terminations: np.ndarray  # (T,) bool
     scores: np.ndarray  # (T, 2) int32 (post-step)
     draws: np.ndarray  # (D,) int32 — every integers() result, in order
@@ -131,7 +131,7 @@ def record_reference_trace(
     return ReferenceTrace(
         actions=np.asarray(act_list, np.int32),
         obs=np.asarray(obs_list, np.int32),
-        rewards=np.asarray(rew_list, np.int32),
+        rewards=np.asarray(rew_list, np.float64),
         terminations=np.asarray(term_list, bool),
         scores=np.asarray(score_list, np.int32),
         draws=np.asarray(spy.log, np.int32),
