@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark: aggregate env-steps/s of the batched self-play env on TPU.
+
+Measures BASELINE config 4 (vectorized self-play with auto-reset, random
+18-way actions sampled on-device each frame) as a scanned, jitted rollout on
+the default backend (the real TPU chip under the driver).  Prints ONE JSON
+line: ``{"metric", "value", "unit", "vs_baseline"}`` where ``vs_baseline`` is
+the multiple of the reference implementation's measured single-env CPU
+throughput on this host (53,237 steps/s — see BASELINE.md).
+
+Flags: ``--batch N`` (default 262144), ``--steps T`` (default 1000),
+``--iters K`` (default 3), ``--computer`` (bench the rule-AI path instead).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+REFERENCE_CPU_STEPS_PER_S = 53_237.0  # measured: reference env, batch=1, this host
+REFERENCE_CPU_STEPS_PER_S_AI = 19_742.0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=262_144)
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--computer", action="store_true",
+                        help="bench computer-AI self-play (config 2 path)")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+
+    env = PikaZoo(EnvConfig(auto_reset=True,
+                            is_player1_computer=args.computer,
+                            is_player2_computer=args.computer))
+    B, T = args.batch, args.steps
+    state, _ = env.reset_batch(jax.random.key(0), B)
+
+    def body(carry, _):
+        st, key = carry
+        key, sub = jax.random.split(key)
+        acts = jax.random.randint(sub, (B, 2), 0, 18, jnp.int32)
+        st, _ts = env.step_batch(st, acts)
+        return (st, key), None
+
+    @jax.jit
+    def rollout(state, key):
+        (state, key), _ = jax.lax.scan(body, (state, key), None, length=T)
+        return state, key
+
+    # Warm-up (compile) — not timed.
+    state, key = rollout(state, jax.random.key(1))
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, key = rollout(state, key)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_s = B * T * args.iters / elapsed
+    baseline = (REFERENCE_CPU_STEPS_PER_S_AI if args.computer
+                else REFERENCE_CPU_STEPS_PER_S)
+    print(json.dumps({
+        "metric": "env_steps_per_s_aggregate_1chip"
+                  + ("_computer_ai" if args.computer else ""),
+        "value": round(steps_per_s),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

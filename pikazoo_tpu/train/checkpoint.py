@@ -1,0 +1,52 @@
+"""Checkpoint / resume via orbax (SURVEY.md aux-subsystem plan).
+
+The whole training state — parameters, optimizer state, the full env batch
+(a small int32 pytree), PRNG keys and counters — round-trips losslessly, so
+resume is bit-exact: the env step is pure and the RNG is a counted key.
+Typed PRNG keys are converted to raw ``uint32`` key data for serialization.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+def _encode(tree: Any) -> Any:
+    def enc(x):
+        if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return {"__prng_key_data__": jax.random.key_data(x)}
+        return x
+    return jax.tree.map(enc, tree,
+                        is_leaf=lambda x: isinstance(x, jax.Array))
+
+
+def _decode(tree: Any) -> Any:
+    def is_enc(x):
+        return isinstance(x, dict) and "__prng_key_data__" in x
+
+    def dec(x):
+        if is_enc(x):
+            return jax.random.wrap_key_data(x["__prng_key_data__"])
+        return x
+    return jax.tree.map(dec, tree, is_leaf=is_enc)
+
+
+def save(path: str, state: Any) -> None:
+    import orbax.checkpoint as ocp  # noqa: PLC0415
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, _encode(state), force=True)
+
+
+def restore(path: str, like: Any) -> Any:
+    """Restore a checkpoint; ``like`` provides the pytree structure (e.g. the
+    output of ``init_fn``)."""
+    import orbax.checkpoint as ocp  # noqa: PLC0415
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=_encode(like))
+    return _decode(restored)

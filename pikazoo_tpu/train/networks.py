@@ -1,0 +1,50 @@
+"""Actor-critic network for self-play PPO.
+
+A small MLP over the 35-dim integer observation (normalized to [0,1] with the
+env's Box bounds).  Both seats share one policy: observations are mirrored
+per agent by the env, so a single network plays either side — self-play comes
+free.  Matmuls run in bfloat16 (MXU-native) with float32 parameters and
+outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from pikazoo_tpu.envs.observations import OBS_HIGH, OBS_LOW
+
+_LOW = jnp.asarray(OBS_LOW, jnp.float32)
+_SPAN = jnp.asarray(np.asarray(OBS_HIGH) - np.asarray(OBS_LOW), jnp.float32)
+
+
+def normalize_obs(obs: jnp.ndarray) -> jnp.ndarray:
+    return (obs.astype(jnp.float32) - _LOW) / _SPAN
+
+
+class ActorCritic(nn.Module):
+    num_actions: int = 18
+    hidden: Sequence[int] = (256, 256)
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """obs: (..., 35) raw int32 -> (logits (..., A), value (...,))."""
+        x = normalize_obs(obs).astype(self.compute_dtype)
+        for width in self.hidden:
+            x = nn.Dense(width, dtype=self.compute_dtype,
+                         kernel_init=nn.initializers.orthogonal(np.sqrt(2)),
+                         bias_init=nn.initializers.zeros)(x)
+            x = nn.tanh(x)
+        logits = nn.Dense(self.num_actions, dtype=jnp.float32,
+                          kernel_init=nn.initializers.orthogonal(0.01),
+                          bias_init=nn.initializers.zeros)(
+                              x.astype(jnp.float32))
+        value = nn.Dense(1, dtype=jnp.float32,
+                         kernel_init=nn.initializers.orthogonal(1.0),
+                         bias_init=nn.initializers.zeros)(
+                             x.astype(jnp.float32))
+        return logits, jnp.squeeze(value, -1)

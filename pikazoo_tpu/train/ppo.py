@@ -1,0 +1,219 @@
+"""Self-play PPO actor-learner on the sharded env batch (SURVEY.md N7).
+
+One ``train_step`` = rollout ``T`` frames on ``B`` vmapped envs (both seats
+share the policy; each seat contributes a trajectory, so the learner batch is
+``T x B x 2``), GAE, and several clipped-PPO epochs — all inside a single
+``jit``.  Sharding: env state / trajectories are split along the batch axis
+of the device mesh, parameters and optimizer state are replicated, and the
+gradient all-reduce is inserted by XLA (GSPMD) — no hand-written collectives.
+
+Minibatches are formed by shuffling and splitting the TIME axis while keeping
+the (sharded) batch axis intact, so the update phase needs no resharding
+communication; the per-minibatch sample diversity comes from the thousands of
+independent env lanes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from pikazoo_tpu.envs.pika_volley import EnvState, PikaZoo
+from pikazoo_tpu.parallel.mesh import env_sharding, replicated_sharding
+from pikazoo_tpu.train.networks import ActorCritic
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    num_envs: int = 4096
+    rollout_length: int = 128
+    num_actions: int = 18  # 13 when trained through SimplifyAction
+    learning_rate: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    entropy_coef: float = 0.01
+    value_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    update_epochs: int = 4
+    num_minibatches: int = 4  # splits the time axis
+    hidden: Tuple[int, ...] = (256, 256)
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray       # (B, 2, 35) int32
+    action: jnp.ndarray    # (B, 2)
+    log_prob: jnp.ndarray  # (B, 2)
+    value: jnp.ndarray     # (B, 2)
+    reward: jnp.ndarray    # (B, 2) float32
+    done: jnp.ndarray      # (B,) float32
+
+
+class PPORunnerState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    env_state: EnvState
+    last_obs: jnp.ndarray  # (B, 2, 35)
+    key: jax.Array
+    update_index: jnp.ndarray
+
+
+class TrainMetrics(NamedTuple):
+    total_loss: jnp.ndarray
+    policy_loss: jnp.ndarray
+    value_loss: jnp.ndarray
+    entropy: jnp.ndarray
+    approx_kl: jnp.ndarray
+    mean_reward: jnp.ndarray
+    episodes_finished: jnp.ndarray
+    env_steps: jnp.ndarray
+
+
+def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
+                     mesh: Optional[Mesh] = None):
+    """Build ``(init_fn, train_step_fn, network)``.
+
+    ``init_fn(key) -> PPORunnerState`` and
+    ``train_step_fn(runner) -> (runner, TrainMetrics)`` (jit-able; pass
+    ``mesh`` to get sharding constraints for multi-device execution).
+    """
+    network = ActorCritic(num_actions=cfg.num_actions, hidden=cfg.hidden)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.learning_rate),
+    )
+
+    def _constrain(tree, sharded: bool):
+        if mesh is None:
+            return tree
+        s = env_sharding(mesh) if sharded else replicated_sharding(mesh)
+        return jax.lax.with_sharding_constraint(tree, s)
+
+    # ---------------------------------------------------------------- init --
+    def init_fn(key: jax.Array) -> PPORunnerState:
+        key, net_key, env_key = jax.random.split(key, 3)
+        env_state, ts = env.reset_batch(env_key, cfg.num_envs)
+        params = network.init(net_key, ts.obs)
+        opt_state = tx.init(params)
+        return PPORunnerState(params, opt_state, env_state, ts.obs, key,
+                              jnp.int32(0))
+
+    # ------------------------------------------------------------- rollout --
+    def policy_sample(params, obs, key):
+        logits, value = network.apply(params, obs)  # (B, 2, A), (B, 2)
+        action = jax.random.categorical(key, logits)
+        log_prob = jnp.take_along_axis(
+            jax.nn.log_softmax(logits), action[..., None], axis=-1)[..., 0]
+        return action.astype(jnp.int32), log_prob, value
+
+    def rollout(params, env_state, obs, key):
+        def step(carry, _):
+            env_state, obs, key = carry
+            key, akey = jax.random.split(key)
+            action, log_prob, value = policy_sample(params, obs, akey)
+            env_state, ts = env.step_batch(env_state, action)
+            env_state = _constrain(env_state, sharded=True)
+            tr = Transition(obs=obs, action=action, log_prob=log_prob,
+                            value=value,
+                            reward=ts.rewards.astype(jnp.float32),
+                            done=(ts.terminated == 1).astype(jnp.float32))
+            return (env_state, ts.obs, key), tr
+
+        return jax.lax.scan(step, (env_state, obs, key), None,
+                            length=cfg.rollout_length)
+
+    # ----------------------------------------------------------------- GAE --
+    def compute_gae(traj: Transition, last_value: jnp.ndarray):
+        def scan_fn(carry, tr):
+            gae, next_value = carry
+            not_done = (1.0 - tr.done)[:, None]
+            delta = tr.reward + cfg.gamma * next_value * not_done - tr.value
+            gae = delta + cfg.gamma * cfg.gae_lambda * not_done * gae
+            return (gae, tr.value), gae
+
+        (_, _), advantages = jax.lax.scan(
+            scan_fn, (jnp.zeros_like(last_value), last_value), traj,
+            reverse=True)
+        return advantages, advantages + traj.value
+
+    # ---------------------------------------------------------------- loss --
+    def loss_fn(params, batch: Transition, advantages, targets):
+        logits, value = network.apply(params, batch.obs)
+        log_probs = jax.nn.log_softmax(logits)
+        log_prob = jnp.take_along_axis(
+            log_probs, batch.action[..., None], axis=-1)[..., 0]
+        ratio = jnp.exp(log_prob - batch.log_prob)
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        unclipped = ratio * adv
+        clipped = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+        policy_loss = -jnp.minimum(unclipped, clipped).mean()
+        value_clipped = batch.value + jnp.clip(
+            value - batch.value, -cfg.clip_eps, cfg.clip_eps)
+        value_loss = 0.5 * jnp.maximum(
+            (value - targets) ** 2, (value_clipped - targets) ** 2).mean()
+        entropy = -(jnp.exp(log_probs) * log_probs).sum(-1).mean()
+        total = policy_loss + cfg.value_coef * value_loss \
+            - cfg.entropy_coef * entropy
+        approx_kl = ((ratio - 1) - jnp.log(ratio)).mean()
+        return total, (policy_loss, value_loss, entropy, approx_kl)
+
+    # ---------------------------------------------------------- train step --
+    def train_step(runner: PPORunnerState
+                   ) -> Tuple[PPORunnerState, TrainMetrics]:
+        (env_state, last_obs, key), traj = rollout(
+            jax.lax.stop_gradient(runner.params), runner.env_state,
+            runner.last_obs, runner.key)
+
+        _, last_value = network.apply(runner.params, last_obs)
+        advantages, targets = compute_gae(traj, last_value)
+
+        # Minibatch over the time axis: shuffle T, split into chunks.
+        key, perm_key = jax.random.split(key)
+        perm = jax.random.permutation(perm_key, cfg.rollout_length)
+        batch = (traj, advantages, targets)
+        batch = jax.tree.map(lambda x: x[perm], batch)
+
+        def epoch(carry, _):
+            params, opt_state = carry
+
+            def minibatch(carry, mb):
+                params, opt_state = carry
+                mtraj, madv, mtarget = mb
+                (total, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, mtraj, madv, mtarget)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (total, *aux)
+
+            mbs = jax.tree.map(
+                lambda x: x.reshape(cfg.num_minibatches,
+                                    cfg.rollout_length // cfg.num_minibatches,
+                                    *x.shape[1:]),
+                batch)
+            carry, losses = jax.lax.scan(minibatch, carry, mbs)
+            return carry, losses
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (runner.params, runner.opt_state), None,
+            length=cfg.update_epochs)
+        params = _constrain(params, sharded=False)
+
+        total, policy_loss, value_loss, entropy, approx_kl = \
+            [x.mean() for x in losses]
+        metrics = TrainMetrics(
+            total_loss=total, policy_loss=policy_loss, value_loss=value_loss,
+            entropy=entropy, approx_kl=approx_kl,
+            mean_reward=traj.reward.mean(),
+            episodes_finished=traj.done.sum(),
+            env_steps=jnp.int32(cfg.rollout_length * cfg.num_envs),
+        )
+        runner = PPORunnerState(params, opt_state, env_state, last_obs, key,
+                                runner.update_index + 1)
+        return runner, metrics
+
+    return init_fn, train_step, network
