@@ -1,0 +1,120 @@
+"""Self-play PPO training CLI (BASELINE config 5 single-host entry point).
+
+Usage:
+    python -m pikazoo_tpu.train.run --num-envs 4096 --updates 200 \
+        --checkpoint-dir /tmp/pika_ckpt --metrics out.jsonl
+
+Runs the full actor-learner on the device mesh (all local devices; on a
+multi-host slice call with ``--distributed`` on every host so the env batch
+shards over the global mesh).  Resumes from the newest checkpoint when
+``--checkpoint-dir`` already holds one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--num-envs", type=int, default=4096)
+    p.add_argument("--rollout-length", type=int, default=128)
+    p.add_argument("--updates", type=int, default=100)
+    p.add_argument("--learning-rate", type=float, default=3e-4)
+    p.add_argument("--winning-score", type=int, default=15)
+    p.add_argument("--serve", default="winner",
+                   choices=("winner", "alternate", "random"))
+    p.add_argument("--simplify-actions", action="store_true",
+                   help="train on the 13-action SimplifyAction space")
+    p.add_argument("--ball-shaping", type=float, nargs=8, default=None,
+                   metavar="R", help="RewardByBallPosition 8-tuple")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the multi-host JAX runtime first")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a profiler trace of update 3 into this dir")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+    from pikazoo_tpu.parallel import (env_sharding, init_distributed,
+                                      make_env_mesh, shard_batch)
+    from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
+    from pikazoo_tpu.train import checkpoint as ckpt
+    from pikazoo_tpu.utils import MetricsLogger, Throughput, profile_trace
+    from pikazoo_tpu.wrappers import RewardByBallPosition, SimplifyAction
+
+    if args.distributed:
+        init_distributed()
+
+    env = PikaZoo(EnvConfig(winning_score=args.winning_score,
+                            serve=args.serve, auto_reset=True))
+    num_actions = 18
+    if args.ball_shaping is not None:
+        env = RewardByBallPosition(env, tuple(args.ball_shaping))
+    if args.simplify_actions:
+        env = SimplifyAction(env)
+        num_actions = 13
+
+    mesh = make_env_mesh()
+    cfg = PPOConfig(num_envs=args.num_envs,
+                    rollout_length=args.rollout_length,
+                    num_actions=num_actions,
+                    learning_rate=args.learning_rate)
+    init_fn, train_step, _ = make_ppo_trainer(env, cfg, mesh=mesh)
+
+    runner = init_fn(jax.random.key(args.seed))
+    start_update = 0
+    if args.checkpoint_dir and os.path.isdir(
+            os.path.join(args.checkpoint_dir, "latest")):
+        runner = ckpt.restore(os.path.join(args.checkpoint_dir, "latest"),
+                              runner)
+        start_update = int(np.asarray(runner.update_index))
+        print(f"resumed from update {start_update}", flush=True)
+    runner = runner._replace(
+        env_state=shard_batch(runner.env_state, mesh),
+        last_obs=jax.device_put(runner.last_obs, env_sharding(mesh)))
+
+    step = jax.jit(train_step)
+    logger = MetricsLogger(args.metrics, print_every=10)
+    meter = Throughput(unit_steps=cfg.num_envs * cfg.rollout_length)
+
+    for update in range(start_update, start_update + args.updates):
+        if args.profile_dir and update == start_update + 3:
+            with profile_trace(args.profile_dir):
+                runner, metrics = step(runner)
+                jax.block_until_ready(metrics)
+        else:
+            runner, metrics = step(runner)
+        jax.block_until_ready(metrics.total_loss)
+        meter.tick()
+        logger.log(update, {
+            "loss": metrics.total_loss,
+            "policy_loss": metrics.policy_loss,
+            "value_loss": metrics.value_loss,
+            "entropy": metrics.entropy,
+            "approx_kl": metrics.approx_kl,
+            "episodes": metrics.episodes_finished,
+            "env_steps_per_s": meter.steps_per_s,
+        })
+        if args.checkpoint_dir and (update + 1) % args.checkpoint_every == 0:
+            ckpt.save(os.path.join(args.checkpoint_dir, "latest"), runner)
+            print(f"checkpointed at update {update}", flush=True)
+
+    logger.close()
+    print(f"done: {args.updates} updates, "
+          f"{meter.steps_per_s / 1e6:.2f}M env-steps/s sustained", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,4 @@
+from pikazoo_tpu.utils.profiling import Throughput, trace_annotation, profile_trace
+from pikazoo_tpu.utils.logging import MetricsLogger
+
+__all__ = ["Throughput", "trace_annotation", "profile_trace", "MetricsLogger"]

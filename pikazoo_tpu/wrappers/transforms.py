@@ -57,6 +57,16 @@ class _Wrapper:
     def step(self, state, actions, oracle=None):
         return self.env.step(state, actions, oracle)
 
+    # Batched convenience mirroring PikaZoo's API so wrapped stacks drop into
+    # the trainer unchanged (vmap runs over the whole wrapped step).
+    def reset_batch(self, key, batch_size: int):
+        keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+            key, jnp.arange(batch_size))
+        return jax.vmap(lambda k: self.reset(k))(keys)
+
+    def step_batch(self, state, actions):
+        return jax.vmap(lambda s, a: self.step(s, a))(state, actions)
+
 
 class SimplifyAction(_Wrapper):
     """Relative-direction 13-action space mapped onto the raw 18."""
