@@ -105,7 +105,13 @@ def landing_sims(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
         done = done | finished
         return x, y, vx, vy, count1, done, result
 
-    init = (x, y, vx, vy, jnp.zeros((7,), jnp.int32),
-            jnp.zeros((7,), jnp.bool_), x)
+    # Fast exit: a lane with vx == 0 can never change x (the wall and net
+    # rules only negate it), so its result is identically its start x — no
+    # need to iterate.  This removes the worst case where a ball trapped
+    # bouncing on the net-pillar top (necessarily vx == 0) would drag every
+    # batch lane through the full 1000-iteration cap; it also short-circuits
+    # the common just-served state.  Power-hit lanes always have |vx| >= 10.
+    pre_done = vx == 0
+    init = (x, y, vx, vy, jnp.zeros((7,), jnp.int32), pre_done, x)
     *_, result = jax.lax.while_loop(cond, body, init)
     return result[0], result[1:]
