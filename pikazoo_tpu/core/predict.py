@@ -50,8 +50,8 @@ ORDER_B = jnp.asarray([2, 1, 0, 5, 4, 3], jnp.int32)
 _FULL_NET_RULE = jnp.asarray([1, 0, 0, 0, 0, 0, 0], jnp.int32)
 
 
-def landing_sims(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Run the 7-lane landing simulation for the current ball.
+def _landing_sims_impl(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the 7-lane landing simulation for the current ball (scalar env).
 
     Returns ``(expected_landing_point_x, candidate_landing_x[6])``.
     """
@@ -115,3 +115,37 @@ def landing_sims(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
     init = (x, y, vx, vy, jnp.zeros((7,), jnp.int32), pre_done, x)
     *_, result = jax.lax.while_loop(cond, body, init)
     return result[0], result[1:]
+
+
+@jax.custom_batching.custom_vmap
+def landing_sims(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """7-lane landing simulation; scalar path uses the lax while-loop, the
+    vmapped path dispatches to the VMEM-resident Pallas kernel on TPU (the
+    HBM-bound vmap-of-while-loop is ~50x slower at large batch — see
+    ``core.predict_pallas``).  Override with PIKAZOO_PREDICTOR=lax|pallas."""
+    return _landing_sims_impl(ball)
+
+
+@landing_sims.def_vmap
+def _landing_sims_vmap_rule(axis_size, in_batched, ball: BallState):
+    del axis_size
+    import os
+
+    assert all(jax.tree.leaves(in_batched)), \
+        "landing_sims expects a fully batched BallState under vmap"
+    impl = os.environ.get("PIKAZOO_PREDICTOR", "auto")
+    # "auto" avoids pallas when the axon remote-compile tunnel is in play:
+    # standalone kernels compile fine there, but a full XLA program embedding
+    # the Mosaic custom call hangs that compile service (observed 2026-08-17;
+    # set PIKAZOO_PREDICTOR=pallas to force it on healthy direct-TPU hosts).
+    remote_compile = os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+    use_pallas = (impl == "pallas" or
+                  (impl == "auto" and jax.default_backend() == "tpu"
+                   and not remote_compile))
+    if use_pallas:
+        from pikazoo_tpu.core.predict_pallas import landing_sims_batched
+        expected, candidates = landing_sims_batched(
+            ball.x, ball.y, ball.x_velocity, ball.y_velocity)
+    else:
+        expected, candidates = jax.vmap(_landing_sims_impl)(ball)
+    return (expected, candidates), (True, True)
