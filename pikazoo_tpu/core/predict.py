@@ -49,6 +49,9 @@ ORDER_B = jnp.asarray([2, 1, 0, 5, 4, 3], jnp.int32)
 # Lane 0 uses the two-branch net rule; lanes 1-6 the power-hit (mistake) rule.
 _FULL_NET_RULE = jnp.asarray([1, 0, 0, 0, 0, 0, 0], jnp.int32)
 
+# Sub-iterations per while-loop trip in the lax fallback (see body()).
+_UNROLL = 8
+
 
 def _landing_sims_impl(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the 7-lane landing simulation for the current ball (scalar env).
@@ -73,8 +76,11 @@ def _landing_sims_impl(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
         _, _, _, _, _, done, _ = carry
         return jnp.any(~done)
 
-    def body(carry):
+    def one_iteration(carry):
         x, y, vx, vy, count, done, result = carry
+        # The iteration counter is a SCALAR: every still-live lane has been
+        # live since iteration 0, so its private loop_counter equals the
+        # global iteration index; finished lanes no longer read it.
         count1 = count + 1
 
         future_x = x + vx
@@ -105,6 +111,16 @@ def _landing_sims_impl(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
         done = done | finished
         return x, y, vx, vy, count1, done, result
 
+    def body(carry):
+        # Manual 8x unroll: under vmap, XLA materializes while-loop carries in
+        # HBM each trip, so batching 8 masked iterations per trip cuts that
+        # traffic ~8x.  Finished lanes are frozen by the masks, so running a
+        # few extra sub-iterations past a lane's exit is a no-op; live lanes
+        # see exactly the reference iteration sequence.
+        for _ in range(_UNROLL):
+            carry = one_iteration(carry)
+        return carry
+
     # Fast exit: a lane with vx == 0 can never change x (the wall and net
     # rules only negate it), so its result is identically its start x — no
     # need to iterate.  This removes the worst case where a ball trapped
@@ -112,7 +128,7 @@ def _landing_sims_impl(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # batch lane through the full 1000-iteration cap; it also short-circuits
     # the common just-served state.  Power-hit lanes always have |vx| >= 10.
     pre_done = vx == 0
-    init = (x, y, vx, vy, jnp.zeros((7,), jnp.int32), pre_done, x)
+    init = (x, y, vx, vy, jnp.int32(0), pre_done, x)
     *_, result = jax.lax.while_loop(cond, body, init)
     return result[0], result[1:]
 
