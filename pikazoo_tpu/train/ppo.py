@@ -43,6 +43,10 @@ class PPOConfig:
     update_epochs: int = 4
     num_minibatches: int = 4  # splits the time axis
     hidden: Tuple[int, ...] = (256, 256)
+    # "both": symmetric self-play, both seats feed the learner.
+    # "p1": only seat 1's trajectory trains (e.g. vs the rule AI on seat 2 —
+    # pass an env with is_player2_computer=True; the AI ignores seat-2 input).
+    learner_seats: str = "both"
 
 
 class Transition(NamedTuple):
@@ -171,6 +175,15 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
 
         _, last_value = network.apply(runner.params, last_obs)
         advantages, targets = compute_gae(traj, last_value)
+
+        if cfg.learner_seats == "p1":
+            # Keep only seat 1's trajectory for the update phase.
+            seat = lambda x: x[..., :1] if x.ndim >= 3 else x
+            traj = Transition(obs=traj.obs[:, :, :1], action=seat(traj.action),
+                              log_prob=seat(traj.log_prob),
+                              value=seat(traj.value), reward=seat(traj.reward),
+                              done=traj.done)
+            advantages, targets = seat(advantages), seat(targets)
 
         # Minibatch over the time axis: shuffle T, split into chunks.
         key, perm_key = jax.random.split(key)

@@ -30,6 +30,9 @@ def parse_args(argv=None):
                    choices=("winner", "alternate", "random"))
     p.add_argument("--simplify-actions", action="store_true",
                    help="train on the 13-action SimplifyAction space")
+    p.add_argument("--vs-ai", action="store_true",
+                   help="train seat 1 against the built-in rule AI on seat 2 "
+                        "instead of symmetric self-play")
     p.add_argument("--ball-shaping", type=float, nargs=8, default=None,
                    metavar="R", help="RewardByBallPosition 8-tuple")
     p.add_argument("--seed", type=int, default=0)
@@ -58,7 +61,8 @@ def main(argv=None):
         init_distributed()
 
     env = PikaZoo(EnvConfig(winning_score=args.winning_score,
-                            serve=args.serve, auto_reset=True))
+                            serve=args.serve, auto_reset=True,
+                            is_player2_computer=args.vs_ai))
     num_actions = 18
     if args.ball_shaping is not None:
         env = RewardByBallPosition(env, tuple(args.ball_shaping))
@@ -70,7 +74,8 @@ def main(argv=None):
     cfg = PPOConfig(num_envs=args.num_envs,
                     rollout_length=args.rollout_length,
                     num_actions=num_actions,
-                    learning_rate=args.learning_rate)
+                    learning_rate=args.learning_rate,
+                    learner_seats="p1" if args.vs_ai else "both")
     init_fn, train_step, _ = make_ppo_trainer(env, cfg, mesh=mesh)
 
     runner = init_fn(jax.random.key(args.seed))

@@ -29,7 +29,7 @@ Semantics notes (each verified by wrapper-stack parity tests):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
