@@ -30,12 +30,18 @@ def main():
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--computer", action="store_true",
                         help="bench computer-AI self-play (config 2 path)")
+    parser.add_argument("--ppo", action="store_true",
+                        help="bench the full PPO actor-learner train step "
+                             "(config 5 single-host path)")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from pikazoo_tpu.envs import EnvConfig, PikaZoo
+
+    if args.ppo:
+        return bench_ppo(args)
 
     env = PikaZoo(EnvConfig(auto_reset=True,
                             is_player1_computer=args.computer,
@@ -74,6 +80,43 @@ def main():
         "value": round(steps_per_s),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / baseline, 2),
+    }))
+
+
+def bench_ppo(args):
+    """Full self-play actor-learner: rollout + GAE + clipped epochs, one jit,
+    on the device mesh.  env-steps/s counts environment frames collected."""
+    import jax
+
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+    from pikazoo_tpu.parallel import env_sharding, make_env_mesh, shard_batch
+    from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
+
+    num_envs = min(args.batch, 65_536)
+    cfg = PPOConfig(num_envs=num_envs, rollout_length=128)
+    mesh = make_env_mesh()
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    init_fn, train_step, _ = make_ppo_trainer(env, cfg, mesh=mesh)
+    runner = init_fn(jax.random.key(0))
+    runner = runner._replace(
+        env_state=shard_batch(runner.env_state, mesh),
+        last_obs=jax.device_put(runner.last_obs, env_sharding(mesh)))
+    step = jax.jit(train_step)
+
+    runner, metrics = step(runner)  # compile
+    jax.block_until_ready(metrics.total_loss)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        runner, metrics = step(runner)
+    jax.block_until_ready(metrics.total_loss)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_s = cfg.num_envs * cfg.rollout_length * args.iters / elapsed
+    print(json.dumps({
+        "metric": "ppo_env_steps_per_s_full_train_step_1chip",
+        "value": round(steps_per_s),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / REFERENCE_CPU_STEPS_PER_S, 2),
     }))
 
 

@@ -130,7 +130,9 @@ def record_reference_trace(
 
     return ReferenceTrace(
         actions=np.asarray(act_list, np.int32),
-        obs=np.asarray(obs_list, np.int32),
+        # dtype inferred: int64 for the raw env, float when a wrapper (e.g.
+        # NormalizeObservation) transforms observations.
+        obs=np.asarray(obs_list),
         rewards=np.asarray(rew_list, np.float64),
         terminations=np.asarray(term_list, bool),
         scores=np.asarray(score_list, np.int32),

@@ -54,6 +54,14 @@ def test_parity_mixed_computer_random_opponent():
         trace, EnvConfig(auto_reset=False, is_player2_computer=True))
 
 
+def test_parity_computer_player1_only():
+    """Left-seat AI exercises the is_player2=False AI boundary arithmetic."""
+    trace = record_reference_trace(
+        13, 6000, random_actions, is_player1_computer=True)
+    replay_and_compare(
+        trace, EnvConfig(auto_reset=False, is_player1_computer=True))
+
+
 def test_parity_serve_random():
     trace = record_reference_trace(
         5, 4000, random_actions, serve="random")
