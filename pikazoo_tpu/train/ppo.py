@@ -34,6 +34,8 @@ class PPOConfig:
     rollout_length: int = 128
     num_actions: int = 18  # 13 when trained through SimplifyAction
     learning_rate: float = 3e-4
+    # Linear LR anneal to 0 over this many updates (None = constant LR).
+    anneal_updates: Optional[int] = None
     gamma: float = 0.99
     gae_lambda: float = 0.95
     clip_eps: float = 0.2
@@ -87,9 +89,15 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
     ``mesh`` to get sharding constraints for multi-device execution).
     """
     network = ActorCritic(num_actions=cfg.num_actions, hidden=cfg.hidden)
+    if cfg.anneal_updates:
+        steps_per_update = cfg.update_epochs * cfg.num_minibatches
+        lr = optax.linear_schedule(
+            cfg.learning_rate, 0.0, cfg.anneal_updates * steps_per_update)
+    else:
+        lr = cfg.learning_rate
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(cfg.learning_rate),
+        optax.adam(lr),
     )
 
     def _constrain(tree, sharded: bool):
