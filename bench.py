@@ -23,6 +23,27 @@ REFERENCE_CPU_STEPS_PER_S = 53_237.0  # measured: reference env, batch=1, this h
 REFERENCE_CPU_STEPS_PER_S_AI = 19_742.0
 
 
+def _await_device_health(max_wait_s: float = 600.0) -> bool:
+    """The remote-TPU tunnel on this host can wedge (hung compiles block every
+    program, recovery is automatic after ~45 min).  Probe with short-lived
+    subprocesses so a wedged device can't hang the bench itself."""
+    import subprocess
+    deadline = time.monotonic() + max_wait_s
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(int(jnp.arange(4).sum()))")
+    while True:
+        try:
+            out = subprocess.run([sys.executable, "-c", probe], timeout=60,
+                                 capture_output=True)
+            if out.returncode == 0 and b"6" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            return False
+        time.sleep(30)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=262_144)
@@ -34,6 +55,15 @@ def main():
                         help="bench the full PPO actor-learner train step "
                              "(config 5 single-host path)")
     args = parser.parse_args()
+
+    if not _await_device_health():
+        # Device never became healthy; report a failed (zero) measurement
+        # rather than hanging the driver.
+        print(json.dumps({
+            "metric": "env_steps_per_s_aggregate_1chip",
+            "value": 0, "unit": "env-steps/s", "vs_baseline": 0.0,
+        }))
+        return
 
     import jax
     import jax.numpy as jnp
