@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from pikazoo_tpu.core import constants as C
 from pikazoo_tpu.core.engine import physics_step
 from pikazoo_tpu.core.input import decode_action
-from pikazoo_tpu.core.rng import DrawState, draw
+from pikazoo_tpu.core.rng import (DrawState, draw, fold_key, key_from_jax)
 from pikazoo_tpu.core.state import (BallState, PlayerState, SoundEvents,
                                     init_ball_construction,
                                     init_player_construction,
@@ -76,7 +76,7 @@ class EnvState(NamedTuple):
     round_ended: jnp.ndarray
     game_ended: jnp.ndarray
     step_count: jnp.ndarray
-    rng_key: jax.Array
+    rng_key: jnp.ndarray  # (2,) uint32 — explicit threefry2x32 stream key
     draw_counter: jnp.ndarray
 
 
@@ -129,6 +129,7 @@ class PikaZoo:
 
         scores = jnp.zeros((2,), jnp.int32)
         is_player2_serve = jnp.int32(0)
+        key = key_from_jax(key)
         ds = DrawState(key=key, counter=jnp.asarray(counter, jnp.int32),
                        oracle=oracle)
 
@@ -273,8 +274,9 @@ class PikaZoo:
     def reset_batch(self, key: jax.Array, batch_size: int
                     ) -> Tuple[EnvState, TimeStep]:
         """Reset ``batch_size`` independent matches with per-env folded keys."""
-        keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
-            key, jnp.arange(batch_size))
+        base = key_from_jax(key)
+        keys = jax.vmap(fold_key, in_axes=(None, 0))(
+            base, jnp.arange(batch_size))
         return jax.vmap(lambda k: self.reset(k))(keys)
 
     def step_batch(self, state: EnvState, actions: jnp.ndarray

@@ -32,7 +32,8 @@ _BALL_FIELDS = ["x", "y", "x_velocity", "y_velocity", "previous_x",
                 "fine_rotation", "punch_effect_x", "punch_effect_y",
                 "punch_effect_radius"]
 _GAME_FIELDS = ["key1", "key2", "score1", "score2", "is_player2_serve",
-                "round_ended", "game_ended", "step_count", "draw_counter"]
+                "round_ended", "game_ended", "step_count", "draw_counter",
+                "rng_lo", "rng_hi"]
 FIELDS = ([f"p1.{f}" for f in _PLAYER_FIELDS] +
           [f"p2.{f}" for f in _PLAYER_FIELDS] +
           [f"ball.{f}" for f in _BALL_FIELDS] + _GAME_FIELDS)
@@ -121,12 +122,16 @@ class NativeEngine:
             cols = [np.asarray(c)[None] for c in cols]
         else:
             cols = [np.asarray(c) for c in cols]
+        rng_key = np.asarray(env_state.rng_key, np.uint32).view(np.int32)
+        if rng_key.ndim == 1:
+            rng_key = rng_key[None]
         cols += [latch[:, 0], latch[:, 1], scores[:, 0], scores[:, 1],
                  np.asarray(env_state.is_player2_serve).reshape(-1),
                  np.asarray(env_state.round_ended).reshape(-1),
                  np.asarray(env_state.game_ended).reshape(-1),
                  np.asarray(env_state.step_count).reshape(-1),
-                 np.asarray(env_state.draw_counter).reshape(-1)]
+                 np.asarray(env_state.draw_counter).reshape(-1),
+                 rng_key[:, 0], rng_key[:, 1]]
         return np.ascontiguousarray(np.stack(cols, axis=1).astype(np.int32))
 
     @staticmethod
@@ -165,33 +170,44 @@ class NativeEngine:
             game_ended=arr(rest[:, 6]),
             step_count=arr(rest[:, 7]),
             draw_counter=arr(rest[:, 8]),
+            rng_key=arr(np.ascontiguousarray(rest[:, 9:11]).view(np.uint32)),
         )
 
     # ----------------------------------------------------------------- run --
+    @staticmethod
+    def _oracle_or_production(oracle, B):
+        """``oracle=None`` selects production mode: draws come from the
+        state's threefry key (bit-identical to the JAX env)."""
+        if oracle is None:
+            return np.zeros((B, 1), np.int32), 0
+        return np.ascontiguousarray(oracle, np.int32), oracle.shape[1]
+
     def step(self, state: np.ndarray, actions: np.ndarray,
-             oracle: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """One frame in place.  ``actions`` (B, 2); ``oracle`` (B, CAP).
-        Returns (rewards (B, 2), flags (B,) bitmask: 1 term | 2 round | 4
-        touched)."""
+             oracle: Optional[np.ndarray] = None
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        """One frame in place.  ``actions`` (B, 2); ``oracle`` (B, CAP) or
+        None for production RNG.  Returns (rewards (B, 2), flags (B,)
+        bitmask: 1 term | 2 round | 4 touched)."""
         B = state.shape[0]
         rewards = np.empty((B, 2), np.int32)
         flags = np.empty((B,), np.uint8)
+        oracle, cap = self._oracle_or_production(oracle, B)
         _lib.pika_step_batch(state, np.ascontiguousarray(actions, np.int32),
-                             np.ascontiguousarray(oracle, np.int32),
-                             rewards, flags, B, self.winning_score,
+                             oracle, rewards, flags, B, self.winning_score,
                              self.serve_mode, self.p1_cpu, self.p2_cpu,
-                             self.auto_reset, oracle.shape[1])
+                             self.auto_reset, cap)
         return rewards, flags
 
     def run(self, state: np.ndarray, actions: np.ndarray,
-            oracle: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+            oracle: Optional[np.ndarray] = None
+            ) -> Tuple[np.ndarray, np.ndarray]:
         """Many frames in place: ``actions`` (T, B, 2)."""
         T, B = actions.shape[:2]
         rewards = np.empty((B, 2), np.int32)
         flags = np.empty((B,), np.uint8)
+        oracle, cap = self._oracle_or_production(oracle, B)
         _lib.pika_run_batch(state, np.ascontiguousarray(actions, np.int32),
-                            np.ascontiguousarray(oracle, np.int32),
-                            rewards, flags, B, T, self.winning_score,
+                            oracle, rewards, flags, B, T, self.winning_score,
                             self.serve_mode, self.p1_cpu, self.p2_cpu,
-                            self.auto_reset, oracle.shape[1])
+                            self.auto_reset, cap)
         return rewards, flags

@@ -40,6 +40,8 @@ enum Field {
   B_ROT, B_FINEROT, B_PUNCHX, B_PUNCHY, B_PUNCHR,
   // game
   KEY1, KEY2, SCORE1, SCORE2, P2SERVE, ROUND_END, GAME_END, STEPS, DRAWS,
+  // threefry2x32 stream key (uint32 bit patterns stored in int32 slots)
+  RNG_LO, RNG_HI,
   NFIELDS
 };
 
@@ -51,15 +53,49 @@ inline int32_t fdiv(int32_t a, int32_t b) {
 
 inline int32_t iabs(int32_t v) { return v < 0 ? -v : v; }
 
+inline uint32_t rotl32(uint32_t x, int r) {
+  return (x << r) | (x >> (32 - r));
+}
+
+// Threefry-2x32, 20 rounds — bit-identical to pikazoo_tpu.core.rng (and to
+// jax's threefry2x32); returns the first output word.
+inline uint32_t threefry2x32_first(uint32_t k0, uint32_t k1, uint32_t c0,
+                                   uint32_t c1) {
+  static const int kRot[2][4] = {{13, 15, 26, 6}, {17, 29, 16, 24}};
+  uint32_t ks[3] = {k0, k1, k0 ^ k1 ^ 0x1BD11BDAu};
+  uint32_t x0 = c0 + k0, x1 = c1 + k1;
+  for (int block = 0; block < 5; ++block) {
+    const int* rot = kRot[block % 2];
+    for (int i = 0; i < 4; ++i) {
+      x0 += x1;
+      x1 = rotl32(x1, rot[i]);
+      x1 ^= x0;
+    }
+    int inject = block + 1;
+    x0 += ks[inject % 3];
+    x1 += ks[(inject + 1) % 3] + (uint32_t)inject;
+  }
+  return x0;
+}
+
+constexpr uint32_t kSiteTag = 1;
+
 struct Draws {
+  // Oracle mode when cap > 0; otherwise production threefry draws keyed by
+  // the state's RNG_LO/RNG_HI and the running counter.
   const int32_t* oracle;
   int32_t cap;
   int32_t* counter;
-  int32_t next() {
-    int32_t idx = *counter;
-    if (idx >= cap) idx = cap - 1;
-    ++*counter;
-    return oracle[idx];
+  uint32_t key_lo, key_hi;
+  int32_t next(int32_t upper) {
+    int32_t c = (*counter)++;
+    if (cap > 0) {
+      int32_t idx = c;
+      if (idx >= cap) idx = cap - 1;
+      return oracle[idx];
+    }
+    uint32_t bits = threefry2x32_first(key_lo, key_hi, (uint32_t)c, kSiteTag);
+    return (int32_t)(bits % (uint32_t)upper);
   }
 };
 
@@ -136,8 +172,8 @@ void computer_ai(int32_t* s, bool is_p2, Input* inp, Draws* draws) {
   }
   if (iabs(virt - px) > bold + 8) {
     inp->xd = (px < virt) ? 1 : -1;
-  } else if (draws->next() == 0) {
-    s[P1_STAND + off] = draws->next();
+  } else if (draws->next(20) == 0) {
+    s[P1_STAND + off] = draws->next(2);
   }
 
   int32_t state = s[P1_STATE + off];
@@ -154,7 +190,7 @@ void computer_ai(int32_t* s, bool is_p2, Input* inp, Draws* draws) {
   } else if (state == 1 || state == 2) {
     if (iabs(bx - px) > 8) inp->xd = (px < bx) ? 1 : -1;
     if (iabs(bx - px) < 48 && iabs(by - py) < 48) {
-      int32_t coin = draws->next();
+      int32_t coin = draws->next(2);
       // Enumerate candidates in coin-selected order; accept the first whose
       // simulated landing is on the opponent side and away from them.
       static const int32_t xs[2] = {1, 0};
@@ -307,7 +343,7 @@ void collide(int32_t* s, bool is_p2, const Input& inp, Draws* draws) {
   int32_t diff = s[B_X] - px;
   if (diff < 0) s[B_VX] = -(iabs(diff) / 3);
   else if (diff > 0) s[B_VX] = iabs(diff) / 3;
-  if (s[B_VX] == 0) s[B_VX] = draws->next() - 1;
+  if (s[B_VX] == 0) s[B_VX] = draws->next(3) - 1;
   int32_t avy = iabs(s[B_VY]);
   s[B_VY] = (avy < 15) ? -15 : -avy;
   if (s[P1_STATE + off] == 2) {
@@ -334,13 +370,13 @@ void round_init(int32_t* s, Draws* draws, int serve_mode) {
     s[P1_FRAME + off] = 0;
     s[P1_ARM + off] = 1;
     s[P1_DELAY + off] = 0;
-    s[P1_BOLD + off] = draws->next();
+    s[P1_BOLD + off] = draws->next(5);
   }
   bool p2_serve;
   if (serve_mode == 0) p2_serve = s[P2SERVE] != 0;           // winner
   else if (serve_mode == 1)
     p2_serve = ((s[SCORE1] + s[SCORE2]) % 2) == 1;            // alternate
-  else p2_serve = draws->next() == 0;                         // random
+  else p2_serve = draws->next(2) == 0;                         // random
   s[B_X] = p2_serve ? kGroundWidth - 56 : 56;
   s[B_Y] = 0;
   s[B_VX] = 0;
@@ -353,7 +389,8 @@ void step_one(int32_t* s, const int32_t* actions, const int32_t* oracle,
               int32_t* rewards, uint8_t* flags, int winning_score,
               int serve_mode, bool p1_cpu, bool p2_cpu, bool auto_reset,
               int oracle_cap) {
-  Draws draws{oracle, oracle_cap, &s[DRAWS]};
+  Draws draws{oracle, oracle_cap, &s[DRAWS],
+              (uint32_t)s[RNG_LO], (uint32_t)s[RNG_HI]};
 
   bool game_reset = auto_reset && s[GAME_END];
   if (game_reset) {
