@@ -22,9 +22,9 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+import jax
+
 from pikazoo_tpu.core import constants as C
-from pikazoo_tpu.core.predict import (CANDIDATE_X_DIRECTION,
-                                      CANDIDATE_Y_DIRECTION, ORDER_A, ORDER_B)
 from pikazoo_tpu.core.rng import DrawState, draw
 from pikazoo_tpu.core.state import BallState, PlayerInput, PlayerState
 
@@ -95,16 +95,29 @@ def computer_decide_input(p: PlayerState, other: PlayerState, ball: BallState,
     near = (jnp.abs(ball.x - p.x) < 48) & (jnp.abs(ball.y - p.y) < 48)
     smash_consume = airborne & near
     coin2, ds = draw(ds, smash_consume, 2)
-    order = jnp.where(coin2 == 0, ORDER_A, ORDER_B)
+    # First-accepted candidate under the coin-selected enumeration order.
+    # Candidates carry canonical index c on axis 0 (order "A"); order "B" is
+    # the involution c < 3 ? 2-c : 8-c (reference loops physics.py:796-816).
+    # Shape-generic (works per-env under vmap AND on (R, L) leaves inside
+    # Pallas kernels): rank the accepted candidates by their position in the
+    # chosen order and argmin.
+    shape = jnp.shape(p.x)
+    lane_shape = (6,) + tuple(1 for _ in shape)
+    if shape:
+        c_idx = jax.lax.broadcasted_iota(jnp.int32, lane_shape, 0)
+    else:
+        c_idx = jnp.arange(6, dtype=jnp.int32)
+    position = jnp.where(coin2 == 0, c_idx,
+                         jnp.where(c_idx < 3, 2 - c_idx, 8 - c_idx))
     accepted = ((candidate_landing_x <= left_boundary) |
                 (candidate_landing_x >= far_side)) & \
                (jnp.abs(candidate_landing_x - other.x) > C.PLAYER_LENGTH)
-    accepted_in_order = accepted[order]
-    found = jnp.any(accepted_in_order)
-    first = order[jnp.argmax(accepted_in_order)]
+    rank = jnp.where(accepted, position, i32(99))
+    found = jnp.min(rank, axis=0) < 99
+    first = jnp.argmin(rank, axis=0).astype(jnp.int32)
     will_power_hit = smash_consume & found
-    cand_xd = CANDIDATE_X_DIRECTION[first]
-    cand_yd = CANDIDATE_Y_DIRECTION[first]
+    cand_xd = (first < 3).astype(jnp.int32)
+    cand_yd = (first % 3) - 1
     xd = jnp.where(will_power_hit, cand_xd, xd)
     yd = jnp.where(will_power_hit, cand_yd, yd)
     power = jnp.where(will_power_hit, i32(1), power)

@@ -65,3 +65,40 @@ def decode_action(action: jnp.ndarray, latch_prev: jnp.ndarray
     power_hit = jnp.where((latch_prev == 0) & (power_key == 1),
                           jnp.int32(1), jnp.int32(0))
     return PlayerInput(xd, yd, power_hit), power_key
+
+
+# ---------------------------------------------------------------------------
+# Gather-free decode for Pallas kernels (which cannot capture array
+# constants): the three 18-entry tables are packed into Python-int bit
+# fields at import time and unpacked with shifts at run time.  Directions
+# are stored biased (+1, two bits each); actions 0-15 live in the low word,
+# 16-17 in the high word.
+def _pack2(table):
+    lo = sum((v + 1) << (2 * a) for a, v in enumerate(table[:16]))
+    hi = sum((v + 1) << (2 * a) for a, v in enumerate(table[16:]))
+    return lo & 0xFFFFFFFF, hi & 0xFFFFFFFF
+
+
+_XD_LO, _XD_HI = _pack2(_XD)
+_YD_LO, _YD_HI = _pack2(_YD)
+_PK_BITS = sum(v << a for a, v in enumerate(_PK))
+
+
+def _unpack2(lo: int, hi: int, action: jnp.ndarray) -> jnp.ndarray:
+    a = action.astype(jnp.uint32)
+    low = (jnp.uint32(lo) >> (jnp.uint32(2) * a)) & jnp.uint32(3)
+    high = (jnp.uint32(hi) >> (jnp.uint32(2) * (a - 16))) & jnp.uint32(3)
+    return jnp.where(action < 16, low, high).astype(jnp.int32) - 1
+
+
+def decode_action_arith(action: jnp.ndarray, latch_prev: jnp.ndarray
+                        ) -> Tuple[PlayerInput, jnp.ndarray]:
+    """Bit-arithmetic equivalent of :func:`decode_action` (any shape; safe
+    inside Pallas kernels).  ``action`` must already be in [0, 18)."""
+    xd = _unpack2(_XD_LO, _XD_HI, action)
+    yd = _unpack2(_YD_LO, _YD_HI, action)
+    power_key = ((jnp.uint32(_PK_BITS) >> action.astype(jnp.uint32))
+                 & jnp.uint32(1)).astype(jnp.int32)
+    power_hit = jnp.where((latch_prev == 0) & (power_key == 1),
+                          jnp.int32(1), jnp.int32(0))
+    return PlayerInput(xd, yd, power_hit), power_key

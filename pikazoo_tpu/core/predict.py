@@ -53,31 +53,49 @@ _FULL_NET_RULE = jnp.asarray([1, 0, 0, 0, 0, 0, 0], jnp.int32)
 _UNROLL = 8
 
 
-def _landing_sims_impl(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Run the 7-lane landing simulation for the current ball (scalar env).
+def landing_sims_any(ball_x: jnp.ndarray, ball_y: jnp.ndarray,
+                     ball_vx: jnp.ndarray, ball_vy: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shape-generic 7-lane landing simulation.
 
-    Returns ``(expected_landing_point_x, candidate_landing_x[6])``.
+    Inputs may be scalars or arrays of any shape S; returns
+    ``(expected_landing_point_x with shape S, candidates with shape (6,)+S)``.
+    Uses only iota-built constants and elementwise ops, so the same function
+    runs under jit/vmap AND inside Pallas kernels (which cannot capture array
+    constants).
     """
-    seven = lambda v: jnp.full((7,), v, jnp.int32)
+    shape = jnp.shape(ball_x)
+    lane_shape = (7,) + tuple(1 for _ in shape)
+    if shape:
+        lane = jax.lax.broadcasted_iota(jnp.int32, lane_shape, 0)
+    else:
+        # 1-D iota is fine outside pallas; scalars never occur inside it.
+        lane = jnp.arange(7, dtype=jnp.int32).reshape(lane_shape)
+    # Candidate tables from arithmetic: lanes 1..6 map to k = lane-1 with
+    # |x_dir| = (k < 3) and y_dir = (k % 3) - 1 (canonical order "A").
+    k = jnp.maximum(lane - 1, 0)
+    cand_abs_xd = (k < 3).astype(jnp.int32)
+    cand_yd = (k % 3) - 1
+    full_rule = lane == 0
 
-    x = seven(ball.x)
-    y = seven(ball.y)
-
+    x = jnp.broadcast_to(ball_x, (7,) + shape).astype(jnp.int32)
+    y = jnp.broadcast_to(ball_y, (7,) + shape).astype(jnp.int32)
     # Power-hit candidate initial velocities (physics.py:841-845).
-    speed = (jnp.abs(CANDIDATE_X_DIRECTION) + 1) * 10
-    cand_vx = jnp.where(ball.x < C.GROUND_HALF_WIDTH, speed, -speed)
-    cand_vy = jnp.abs(ball.y_velocity) * CANDIDATE_Y_DIRECTION * 2
-    vx = jnp.concatenate([jnp.reshape(ball.x_velocity, (1,)), cand_vx])
-    vy = jnp.concatenate([jnp.reshape(ball.y_velocity, (1,)), cand_vy])
+    speed = (cand_abs_xd + 1) * 10
+    cand_vx = jnp.where(ball_x < C.GROUND_HALF_WIDTH, speed, -speed)
+    cand_vy = jnp.abs(ball_vy) * cand_yd * 2
+    vx = jnp.where(full_rule, ball_vx, cand_vx)
+    vy = jnp.where(full_rule, ball_vy, cand_vy)
 
-    full_rule = _FULL_NET_RULE == 1
-
+    # The done mask is carried as int32: Mosaic cannot legalize i1 vectors in
+    # while-loop carries, and this function also runs inside Pallas kernels.
     def cond(carry):
-        _, _, _, _, _, done, _ = carry
-        return jnp.any(~done)
+        _, _, _, _, _, done_i, _ = carry
+        return jnp.any(done_i == 0)
 
     def one_iteration(carry):
-        x, y, vx, vy, count, done, result = carry
+        x, y, vx, vy, count, done_i, result = carry
+        done = done_i == 1
         # The iteration counter is a SCALAR: every still-live lane has been
         # live since iteration 0, so its private loop_counter equals the
         # global iteration index; finished lanes no longer read it.
@@ -108,8 +126,8 @@ def _landing_sims_impl(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
         y = jnp.where(live, y1, y)
         vx = jnp.where(live, vx2, vx)
         vy = jnp.where(live & ~finished, vy2 + 1, jnp.where(live, vy2, vy))
-        done = done | finished
-        return x, y, vx, vy, count1, done, result
+        done_i = jnp.where(done | finished, jnp.int32(1), jnp.int32(0))
+        return x, y, vx, vy, count1, done_i, result
 
     def body(carry):
         # Manual 8x unroll: under vmap, XLA materializes while-loop carries in
@@ -127,10 +145,15 @@ def _landing_sims_impl(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # bouncing on the net-pillar top (necessarily vx == 0) would drag every
     # batch lane through the full 1000-iteration cap; it also short-circuits
     # the common just-served state.  Power-hit lanes always have |vx| >= 10.
-    pre_done = vx == 0
+    pre_done = (vx == 0).astype(jnp.int32)
     init = (x, y, vx, vy, jnp.int32(0), pre_done, x)
     *_, result = jax.lax.while_loop(cond, body, init)
     return result[0], result[1:]
+
+
+def _landing_sims_impl(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """7-lane landing simulation for one (scalar) env's ball."""
+    return landing_sims_any(ball.x, ball.y, ball.x_velocity, ball.y_velocity)
 
 
 @jax.custom_batching.custom_vmap
