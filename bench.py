@@ -17,7 +17,8 @@ import json
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 1)[0])
+import os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_CPU_STEPS_PER_S = 53_237.0  # measured: reference env, batch=1, this host
 REFERENCE_CPU_STEPS_PER_S_AI = 19_742.0

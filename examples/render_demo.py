@@ -5,7 +5,8 @@ Usage: python examples/render_demo.py [out.gif] [n_frames]
 
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -34,13 +34,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pikazoo_tpu.core import constants as C
-from pikazoo_tpu.core.engine import physics_step
 from pikazoo_tpu.core.input import decode_action_arith
-from pikazoo_tpu.core.rng import DrawState, draw, threefry2x32
-from pikazoo_tpu.core.state import (BallState, PlayerState, round_init_ball,
-                                    round_init_player)
-from pikazoo_tpu.envs.pika_volley import EnvConfig, EnvState
+from pikazoo_tpu.core.rng import DrawState, threefry2x32
+from pikazoo_tpu.core.state import BallState, PlayerState
+from pikazoo_tpu.envs.pika_volley import EnvConfig, EnvState, env_frame
 
 BLOCK_ROWS = 8
 LANES = 128
@@ -83,93 +80,50 @@ def _join(p1, p2, ball, game):
 
 def sample_action(akey: jnp.ndarray, t: jnp.ndarray, seat: int,
                   num_actions: int = 18) -> jnp.ndarray:
-    """Uniform action from the shared PRF: reproducible host-side."""
-    bits, _ = threefry2x32(akey, jnp.uint32(t),
+    """Uniform action from the shared PRF: reproducible host-side.  ``t`` is
+    the env's cumulative step_count, so the stream continues correctly
+    across consecutive ``fused_rollout`` calls."""
+    bits, _ = threefry2x32(akey, jnp.asarray(t).astype(jnp.uint32),
                            jnp.uint32(ACTION_TAG + seat))
     return (bits % jnp.uint32(num_actions)).astype(jnp.int32)
 
 
-def _env_frame(cfg: EnvConfig, t, p1, p2, ball, game):
-    """One full env step on (R, L)-shaped leaves — mirrors PikaZoo.step
-    (envs/pika_volley.py) with scores/latches as separate scalar fields."""
-    i32 = jnp.int32
+def _fused_frame(cfg: EnvConfig, p1, p2, ball, game):
+    """One env step on (R, L)-shaped leaves: in-kernel action sampling and
+    decode, then the SAME shared env-frame logic as PikaZoo.step
+    (envs/pika_volley.py:env_frame)."""
     # int32 -> uint32 astype is a mod-2^32 reinterpret (XLA convert), i.e.
     # exactly the stored bit pattern.
     rng_key = jnp.stack([game["rng_lo"].astype(jnp.uint32),
                          game["rng_hi"].astype(jnp.uint32)], axis=-1)
     ds = DrawState(key=rng_key, counter=game["draw_counter"], oracle=None)
 
-    game_reset = (game["game_ended"] == 1) if cfg.auto_reset \
-        else jnp.zeros_like(game["game_ended"], jnp.bool_)
-    round_reset = (game["round_ended"] == 1) & (game["game_ended"] == 0)
-    do_init = round_reset | game_reset
-
-    score1 = jnp.where(game_reset, i32(0), game["score1"])
-    score2 = jnp.where(game_reset, i32(0), game["score2"])
-    is_p2_serve = jnp.where(game_reset, i32(0), game["is_player2_serve"])
-    game_ended = jnp.where(game_reset, i32(0), game["game_ended"])
-    clear = lambda p: p._replace(
-        is_winner=jnp.where(game_reset, i32(0), p.is_winner),
-        game_ended=jnp.where(game_reset, i32(0), p.game_ended))
-    p1, p2 = clear(p1), clear(p2)
-
-    b1, ds = draw(ds, do_init, 5)
-    b2, ds = draw(ds, do_init, 5)
-    if cfg.serve == "winner":
-        server = is_p2_serve
-    elif cfg.serve == "alternate":
-        server = ((score1 + score2) % 2 == 1).astype(i32)
-    else:
-        sv, ds = draw(ds, do_init, 2)
-        server = (sv == 0).astype(i32)
-    p1 = round_init_player(p1, do_init, b1, is_player2=False)
-    p2 = round_init_player(p2, do_init, b2, is_player2=True)
-    ball = round_init_ball(ball, do_init, server)
-    round_ended = jnp.where(do_init, i32(0), game["round_ended"])
-
     akey = jnp.stack([game["akey_lo"].astype(jnp.uint32),
                       game["akey_hi"].astype(jnp.uint32)], axis=-1)
-    a1 = sample_action(akey, t, 0)
-    a2 = sample_action(akey, t, 1)
+    a1 = sample_action(akey, game["step_count"], 0)
+    a2 = sample_action(akey, game["step_count"], 1)
     inp1, latch1 = decode_action_arith(a1, game["latch1"])
     inp2, latch2 = decode_action_arith(a2, game["latch2"])
 
-    p1, p2, ball, touched, ds, _sounds = physics_step(
-        p1, p2, ball, inp1, inp2, ds,
-        cfg.is_player1_computer, cfg.is_player2_computer)
+    fr = env_frame(cfg, ds, p1, p2, ball, game["score1"], game["score2"],
+                   game["is_player2_serve"], game["round_ended"],
+                   game["game_ended"], inp1, inp2)
 
-    score_event = (touched == 1) & (round_ended == 0) & (game_ended == 0)
-    p2_scored = ball.punch_effect_x < C.GROUND_HALF_WIDTH
-    score1 = score1 + (score_event & ~p2_scored).astype(i32)
-    score2 = score2 + (score_event & p2_scored).astype(i32)
-    is_p2_serve = jnp.where(score_event, p2_scored.astype(i32), is_p2_serve)
-    p1_won = score_event & (score1 >= cfg.winning_score) & ~p2_scored
-    p2_won = score_event & (score2 >= cfg.winning_score) & p2_scored
-    game_over = p1_won | p2_won
-    game_ended = jnp.where(game_over, i32(1), game_ended)
-    p1 = p1._replace(
-        is_winner=jnp.where(game_over, p1_won.astype(i32), p1.is_winner),
-        game_ended=jnp.where(game_over, i32(1), p1.game_ended))
-    p2 = p2._replace(
-        is_winner=jnp.where(game_over, p2_won.astype(i32), p2.is_winner),
-        game_ended=jnp.where(game_over, i32(1), p2.game_ended))
-    round_ended = jnp.where(score_event, i32(1), round_ended)
-
-    game = dict(game, latch1=latch1, latch2=latch2, score1=score1,
-                score2=score2, is_player2_serve=is_p2_serve,
-                round_ended=round_ended, game_ended=game_ended,
+    game = dict(game, latch1=latch1, latch2=latch2, score1=fr.score1,
+                score2=fr.score2, is_player2_serve=fr.is_player2_serve,
+                round_ended=fr.round_ended, game_ended=fr.game_ended,
                 step_count=game["step_count"] + 1,
-                draw_counter=ds.counter)
-    return p1, p2, ball, game
+                draw_counter=fr.draw_counter)
+    return fr.p1, fr.p2, fr.ball, game
 
 
 def _make_kernel(cfg: EnvConfig, frames: int):
     def kernel(state_ref, out_ref):
         fields = tuple(state_ref[i] for i in range(NFIELDS))
 
-        def body(t, carry):
+        def body(_, carry):
             p1, p2, ball, game = _split(carry)
-            p1, p2, ball, game = _env_frame(cfg, t, p1, p2, ball, game)
+            p1, p2, ball, game = _fused_frame(cfg, p1, p2, ball, game)
             return _join(p1, p2, ball, game)
 
         fields = jax.lax.fori_loop(0, frames, body, fields)
@@ -222,12 +176,14 @@ def _fold_action_key(base: jnp.ndarray, env_index: jnp.ndarray) -> jnp.ndarray:
 
 
 def fused_actions(action_key: jnp.ndarray, batch: int, frames: int,
-                  num_actions: int = 18) -> jnp.ndarray:
+                  num_actions: int = 18, start: int = 0) -> jnp.ndarray:
     """Host-side reproduction of the in-kernel action stream:
-    (frames, batch, 2) int32 — for equality tests and scanned comparisons."""
+    (frames, batch, 2) int32 — for equality tests and scanned comparisons.
+    ``start`` is the envs' step_count at the first frame (the kernel keys
+    actions on cumulative step_count, not a per-call counter)."""
     akeys = jax.vmap(lambda i: _fold_action_key(action_key, i))(
         jnp.arange(batch)).view(jnp.uint32)
-    t = jnp.arange(frames, dtype=jnp.uint32)
+    t = jnp.arange(start, start + frames, dtype=jnp.uint32)
 
     def per_env(akey):
         a1 = jax.vmap(lambda tt: sample_action(akey, tt, 0, num_actions))(t)

@@ -80,6 +80,95 @@ class EnvState(NamedTuple):
     draw_counter: jnp.ndarray
 
 
+class FrameResult(NamedTuple):
+    """Output of :func:`env_frame` — shape-generic scalar leaves."""
+
+    p1: PlayerState
+    p2: PlayerState
+    ball: BallState
+    score1: jnp.ndarray
+    score2: jnp.ndarray
+    is_player2_serve: jnp.ndarray
+    round_ended: jnp.ndarray
+    game_ended: jnp.ndarray
+    draw_counter: jnp.ndarray
+    touched: jnp.ndarray
+    reward_p1: jnp.ndarray
+    sounds: SoundEvents
+
+
+def env_frame(cfg: "EnvConfig", ds: DrawState, p1: PlayerState,
+              p2: PlayerState, ball: BallState, score1, score2,
+              is_player2_serve, round_ended, game_ended,
+              inp1, inp2) -> FrameResult:
+    """One full environment frame on scalar (or any-shaped) int32 leaves.
+
+    The single source of truth for the env-level semantics — lazy round /
+    auto game reset with its draw consumption (``pikazoo_env.py:176-180``),
+    serve selection (``:242-248``), physics, scoring (``:190-210``) and the
+    zero-sum reward — shared by :meth:`PikaZoo.step` (scalar leaves under
+    vmap) and the fused multi-frame Pallas kernel ((rows, lanes) leaves).
+    Inputs must already be decoded (:func:`..core.input.decode_action`)."""
+    i32 = jnp.int32
+
+    game_reset = (game_ended == 1) if cfg.auto_reset \
+        else jnp.zeros_like(game_ended, jnp.bool_)
+    round_reset = (round_ended == 1) & (game_ended == 0)
+    do_init = round_reset | game_reset
+
+    score1 = jnp.where(game_reset, i32(0), score1)
+    score2 = jnp.where(game_reset, i32(0), score2)
+    is_player2_serve = jnp.where(game_reset, i32(0), is_player2_serve)
+    game_ended = jnp.where(game_reset, i32(0), game_ended)
+    clear = lambda p: p._replace(
+        is_winner=jnp.where(game_reset, i32(0), p.is_winner),
+        game_ended=jnp.where(game_reset, i32(0), p.game_ended))
+    p1, p2 = clear(p1), clear(p2)
+
+    b1, ds = draw(ds, do_init, 5)
+    b2, ds = draw(ds, do_init, 5)
+    if cfg.serve == "winner":
+        server = is_player2_serve
+    elif cfg.serve == "alternate":
+        server = ((score1 + score2) % 2 == 1).astype(i32)
+    else:
+        sv, ds = draw(ds, do_init, 2)
+        server = (sv == 0).astype(i32)
+    p1 = round_init_player(p1, do_init, b1, is_player2=False)
+    p2 = round_init_player(p2, do_init, b2, is_player2=True)
+    ball = round_init_ball(ball, do_init, server)
+    round_ended = jnp.where(do_init, i32(0), round_ended)
+
+    p1, p2, ball, touched, ds, sounds = physics_step(
+        p1, p2, ball, inp1, inp2, ds,
+        cfg.is_player1_computer, cfg.is_player2_computer)
+
+    score_event = (touched == 1) & (round_ended == 0) & (game_ended == 0)
+    p2_scored = ball.punch_effect_x < C.GROUND_HALF_WIDTH
+    score1 = score1 + (score_event & ~p2_scored).astype(i32)
+    score2 = score2 + (score_event & p2_scored).astype(i32)
+    is_player2_serve = jnp.where(score_event, p2_scored.astype(i32),
+                                 is_player2_serve)
+    p1_won = score_event & (score1 >= cfg.winning_score) & ~p2_scored
+    p2_won = score_event & (score2 >= cfg.winning_score) & p2_scored
+    game_over = p1_won | p2_won
+    game_ended = jnp.where(game_over, i32(1), game_ended)
+    p1 = p1._replace(
+        is_winner=jnp.where(game_over, p1_won.astype(i32), p1.is_winner),
+        game_ended=jnp.where(game_over, i32(1), p1.game_ended))
+    p2 = p2._replace(
+        is_winner=jnp.where(game_over, p2_won.astype(i32), p2.is_winner),
+        game_ended=jnp.where(game_over, i32(1), p2.game_ended))
+    round_ended = jnp.where(score_event, i32(1), round_ended)
+
+    reward_p1 = jnp.where(round_ended == 1,
+                          jnp.where(is_player2_serve == 1, i32(-1), i32(1)),
+                          i32(0))
+    return FrameResult(p1, p2, ball, score1, score2, is_player2_serve,
+                       round_ended, game_ended, ds.counter, touched,
+                       reward_p1, sounds)
+
+
 class TimeStep(NamedTuple):
     obs: jnp.ndarray  # (2, 35) int32, row 0 = player 1's view
     rewards: jnp.ndarray  # (2,) int32, zero-sum
@@ -136,7 +225,14 @@ class PikaZoo:
         true = jnp.bool_(True)
         b1, ds = draw(ds, true, 5)
         b2, ds = draw(ds, true, 5)
-        server, ds = self._get_server(ds, true, is_player2_serve, scores)
+        # Serve at reset (pikazoo_env.py:149-164): is_player2_serve was just
+        # cleared and scores zeroed, so winner/alternate both yield player 1;
+        # random draws (after the boldness draws, as in the reference).
+        if self.config.serve == "random":
+            sv, ds = draw(ds, true, 2)
+            server = (sv == 0).astype(jnp.int32)
+        else:
+            server = is_player2_serve
 
         p1 = round_init_player(p1, true, b1, is_player2=False)
         p2 = round_init_player(p2, true, b2, is_player2=True)
@@ -170,105 +266,41 @@ class PikaZoo:
              oracle: Optional[jax.Array] = None
              ) -> Tuple[EnvState, TimeStep]:
         """Advance one frame.  ``actions`` is ``(2,)`` int32 in [0, 18)."""
-        cfg = self.config
-        i32 = jnp.int32
         ds = DrawState(key=state.rng_key, counter=state.draw_counter,
                        oracle=oracle)
 
-        # --- lazy round / auto game reset at step entry ---
-        game_reset = (state.game_ended == 1) if cfg.auto_reset else jnp.bool_(False)
-        round_reset = (state.round_ended == 1) & (state.game_ended == 0)
-        do_init = round_reset | game_reset
-
-        scores = jnp.where(game_reset, jnp.zeros((2,), i32), state.scores)
-        is_player2_serve = jnp.where(game_reset, i32(0), state.is_player2_serve)
-        game_ended = jnp.where(game_reset, i32(0), state.game_ended)
-        clear = lambda p: p._replace(
-            is_winner=jnp.where(game_reset, i32(0), p.is_winner),
-            game_ended=jnp.where(game_reset, i32(0), p.game_ended))
-        p1, p2 = clear(state.p1), clear(state.p2)
-
-        b1, ds = draw(ds, do_init, 5)
-        b2, ds = draw(ds, do_init, 5)
-        server, ds = self._get_server(ds, do_init, is_player2_serve, scores)
-        p1 = round_init_player(p1, do_init, b1, is_player2=False)
-        p2 = round_init_player(p2, do_init, b2, is_player2=True)
-        ball = round_init_ball(state.ball, do_init, server)
-        round_ended = jnp.where(do_init, i32(0), state.round_ended)
-
-        # --- decode actions with edge detection (latch feeds obs 12/25) ---
+        # Decode actions with edge detection (the latch feeds obs 12/25).
         inp1, latch1 = decode_action(actions[0], state.power_hit_key_down_prev[0])
         inp2, latch2 = decode_action(actions[1], state.power_hit_key_down_prev[1])
         latch = jnp.stack([latch1, latch2])
 
-        # --- physics frame ---
-        p1, p2, ball, touched, ds, sounds = physics_step(
-            p1, p2, ball, inp1, inp2, ds,
-            cfg.is_player1_computer, cfg.is_player2_computer)
+        fr = env_frame(self.config, ds, state.p1, state.p2, state.ball,
+                       state.scores[0], state.scores[1],
+                       state.is_player2_serve, state.round_ended,
+                       state.game_ended, inp1, inp2)
 
-        # --- scoring (pikazoo_env.py:190-210) ---
-        score_event = (touched == 1) & (round_ended == 0) & (game_ended == 0)
-        p2_scored = ball.punch_effect_x < C.GROUND_HALF_WIDTH
-        delta = jnp.where(
-            score_event,
-            jnp.where(p2_scored, jnp.asarray([0, 1], i32),
-                      jnp.asarray([1, 0], i32)),
-            jnp.zeros((2,), i32))
-        scores = scores + delta
-        is_player2_serve = jnp.where(score_event, p2_scored.astype(i32),
-                                     is_player2_serve)
-        p1_won = score_event & (scores[0] >= cfg.winning_score) & ~p2_scored
-        p2_won = score_event & (scores[1] >= cfg.winning_score) & p2_scored
-        game_over_now = p1_won | p2_won
-        game_ended = jnp.where(game_over_now, i32(1), game_ended)
-        p1 = p1._replace(
-            is_winner=jnp.where(game_over_now, p1_won.astype(i32), p1.is_winner),
-            game_ended=jnp.where(game_over_now, i32(1), p1.game_ended))
-        p2 = p2._replace(
-            is_winner=jnp.where(game_over_now, p2_won.astype(i32), p2.is_winner),
-            game_ended=jnp.where(game_over_now, i32(1), p2.game_ended))
-        round_ended = jnp.where(score_event, i32(1), round_ended)
-
-        # --- rewards: zero-sum +-1 on the scoring frame ---
-        r1 = jnp.where(round_ended == 1,
-                       jnp.where(is_player2_serve == 1, i32(-1), i32(1)),
-                       i32(0))
-        rewards = jnp.stack([r1, -r1])
-
+        scores = jnp.stack([fr.score1, fr.score2])
         new_state = EnvState(
-            p1=p1, p2=p2, ball=ball,
+            p1=fr.p1, p2=fr.p2, ball=fr.ball,
             power_hit_key_down_prev=latch,
             scores=scores,
-            is_player2_serve=is_player2_serve,
-            round_ended=round_ended,
-            game_ended=game_ended,
+            is_player2_serve=fr.is_player2_serve,
+            round_ended=fr.round_ended,
+            game_ended=fr.game_ended,
             step_count=state.step_count + 1,
             rng_key=state.rng_key,
-            draw_counter=ds.counter,
+            draw_counter=fr.draw_counter,
         )
         ts = TimeStep(
-            obs=assemble_obs(p1, p2, ball, latch),
-            rewards=rewards,
-            terminated=game_ended,
-            round_ended=round_ended,
+            obs=assemble_obs(fr.p1, fr.p2, fr.ball, latch),
+            rewards=jnp.stack([fr.reward_p1, -fr.reward_p1]),
+            terminated=fr.game_ended,
+            round_ended=fr.round_ended,
             scores=scores,
-            touched_ground=touched,
-            sounds=sounds,
+            touched_ground=fr.touched,
+            sounds=fr.sounds,
         )
         return new_state, ts
-
-    # ----------------------------------------------------------- helpers --
-    def _get_server(self, ds: DrawState, consume: jnp.ndarray,
-                    is_player2_serve: jnp.ndarray, scores: jnp.ndarray
-                    ) -> Tuple[jnp.ndarray, DrawState]:
-        """Serve selection (``pikazoo_env.py:242-248``); draws only in
-        ``random`` mode, after the boldness draws."""
-        if self.config.serve == "winner":
-            return is_player2_serve, ds
-        if self.config.serve == "alternate":
-            return ((scores[0] + scores[1]) % 2 == 1).astype(jnp.int32), ds
-        v, ds = draw(ds, consume, 2)
-        return (v == 0).astype(jnp.int32), ds
 
     # Batched convenience API ------------------------------------------------
     def reset_batch(self, key: jax.Array, batch_size: int

@@ -28,11 +28,17 @@ class EvalResult(NamedTuple):
 def evaluate_vs_computer(network, params, *, num_envs: int = 512,
                          max_frames: int = 20_000, winning_score: int = 5,
                          greedy: bool = True, seed: int = 0,
+                         simplify_actions: bool = False,
                          env_config: Optional[EnvConfig] = None) -> EvalResult:
-    """Play policy (seat 1) vs rule AI (seat 2); returns aggregate stats."""
+    """Play policy (seat 1) vs rule AI (seat 2); returns aggregate stats.
+
+    Set ``simplify_actions=True`` for policies trained on the 13-action
+    SimplifyAction space — their outputs are mapped through the seat-1
+    action table before hitting the raw 18-action env."""
     cfg = env_config or EnvConfig(winning_score=winning_score,
                                   is_player2_computer=True, auto_reset=True)
     env = PikaZoo(cfg)
+    from pikazoo_tpu.wrappers.transforms import SIMPLIFY_P1
 
     def run(key):
         ekey, akey = jax.random.split(jax.random.fold_in(key, 1))
@@ -46,6 +52,8 @@ def evaluate_vs_computer(network, params, *, num_envs: int = 512,
                 a1 = jnp.argmax(logits, -1).astype(jnp.int32)
             else:
                 a1 = jax.random.categorical(sub, logits).astype(jnp.int32)
+            if simplify_actions:
+                a1 = SIMPLIFY_P1[a1]
             actions = jnp.stack([a1, jnp.zeros_like(a1)], axis=1)
             state, ts = env.step_batch(state, actions)
             done = ts.terminated == 1

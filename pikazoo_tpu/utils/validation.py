@@ -45,9 +45,10 @@ def _check(name, arr, lo, hi, problems):
     arr = np.asarray(arr)
     bad = (arr < lo) | (arr > hi)
     if bad.any():
+        first = tuple(np.argwhere(bad)[0]) if arr.ndim else ()
         problems.append(
             f"{name}: {bad.sum()} values outside [{lo}, {hi}] "
-            f"(e.g. {arr[np.argwhere(bad)[0][0]] if arr.ndim else arr})")
+            f"(e.g. {arr[first]} at {list(first)})")
 
 
 def validate_state(state) -> None:

@@ -58,10 +58,13 @@ class _Wrapper:
         return self.env.step(state, actions, oracle)
 
     # Batched convenience mirroring PikaZoo's API so wrapped stacks drop into
-    # the trainer unchanged (vmap runs over the whole wrapped step).
+    # the trainer unchanged (vmap runs over the whole wrapped step).  Key
+    # derivation must match PikaZoo.reset_batch exactly so adding/removing a
+    # stateless wrapper never changes the trajectory for a given seed.
     def reset_batch(self, key, batch_size: int):
-        keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
-            key, jnp.arange(batch_size))
+        from pikazoo_tpu.core.rng import fold_key, key_from_jax
+        keys = jax.vmap(fold_key, in_axes=(None, 0))(
+            key_from_jax(key), jnp.arange(batch_size))
         return jax.vmap(lambda k: self.reset(k))(keys)
 
     def step_batch(self, state, actions):

@@ -90,15 +90,21 @@ def test_auto_reset_full_game_cycle():
     assert seen_term >= 3, "auto-reset should let multiple games complete"
 
 
-def test_vmap_batch_matches_single_env():
-    """Lane i of a vmapped batch equals an unbatched env with the same key."""
-    env = PikaZoo(EnvConfig(auto_reset=True))
+@pytest.mark.parametrize("computer", [False, True])
+def test_vmap_batch_matches_single_env(computer):
+    """Lane i of a vmapped batch equals an unbatched env given the same
+    per-env key (derived exactly as reset_batch derives it), including the
+    full state — the computer variant exercises every RNG-consuming path."""
+    from pikazoo_tpu.core.rng import fold_key, key_from_jax
+    env = PikaZoo(EnvConfig(auto_reset=True, winning_score=3,
+                            is_player1_computer=computer,
+                            is_player2_computer=computer))
     B = 4
     bstate, bts = env.reset_batch(jax.random.key(8), B)
-    keys = [jax.random.fold_in(jax.random.key(8), i) for i in range(B)]
+    base = key_from_jax(jax.random.key(8))
     sstates = []
     for i in range(B):
-        s, ts = env.reset(keys[i])
+        s, ts = env.reset(fold_key(base, jnp.uint32(i)))
         sstates.append(s)
         np.testing.assert_array_equal(np.asarray(ts.obs),
                                       np.asarray(bts.obs)[i])
@@ -112,6 +118,14 @@ def test_vmap_batch_matches_single_env():
             sstates[i], sts = sstep(sstates[i], jnp.asarray(acts[i]))
             np.testing.assert_array_equal(np.asarray(sts.obs),
                                           np.asarray(bts.obs)[i])
+    # Full-state equality, not just observations.
+    for i in range(B):
+        for name in sstates[i]._fields:
+            a, b = np.asarray(getattr(sstates[i], name)), \
+                np.asarray(jax.tree.map(lambda x: x[i], bstate)._asdict()[name])
+            if a.dtype == np.uint32:
+                a, b = a.view(np.int32), b.view(np.int32)
+            np.testing.assert_array_equal(a, b, err_msg=f"lane {i} {name}")
 
 
 def test_record_episode_statistics():

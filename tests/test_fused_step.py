@@ -53,6 +53,25 @@ def test_fused_matches_scanned_computer_ai():
              frames=50, seed=2)
 
 
+def test_fused_rollout_continues_action_stream_across_calls():
+    """Two consecutive fused calls == one long call (actions keyed on the
+    cumulative step_count, not a per-call counter)."""
+    cfg = EnvConfig(auto_reset=True, winning_score=2)
+    env = PikaZoo(cfg)
+    state, _ = env.reset_batch(jax.random.key(5), BLOCK_ENVS)
+    akey = jax.random.key(6)
+
+    once = fused_rollout(state, akey, cfg, 60, interpret=True)
+    twice = fused_rollout(
+        fused_rollout(state, akey, cfg, 30, interpret=True),
+        akey, cfg, 30, interpret=True)
+    for name in once._fields:
+        a, b = np.asarray(getattr(once, name)), np.asarray(getattr(twice, name))
+        if a.dtype == np.uint32:
+            a, b = a.view(np.int32), b.view(np.int32)
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_fused_actions_are_uniformish():
     acts = np.asarray(fused_actions(jax.random.key(0), 256, 40))
     assert acts.shape == (40, 256, 2)
