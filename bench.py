@@ -30,8 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_CPU_STEPS_PER_S = 53_237.0  # measured: reference env, batch=1, this host
 REFERENCE_CPU_STEPS_PER_S_AI = 19_742.0
 
-# (batch, steps) fallback ladder for the orchestrated default run.
-_LADDER = [(262_144, 1000), (65_536, 500), (16_384, 200)]
+# (batch, steps) ladder for the orchestrated default run — SMALL FIRST: a
+# quick cheap rung locks in a valid measurement before the bigger compiles
+# (killing a child mid-compile appears to be what wedges the terminal, so
+# never risk a big rung without a number already in hand).
+_LADDER = [(16_384, 200), (65_536, 500), (262_144, 1000)]
 _ATTEMPT_TIMEOUT_S = 480
 _HEALTH_WAIT_S = 420
 
@@ -133,7 +136,9 @@ def _run_direct(args) -> None:
 
 
 def _orchestrate(args) -> None:
-    """Try the config ladder in killable children; print the first success."""
+    """Walk the ladder small -> large in killable children; report the best
+    completed measurement, stopping at the first hang/failure."""
+    best = None
     for batch, steps in _LADDER:
         if not _await_device_health():
             break
@@ -148,12 +153,19 @@ def _orchestrate(args) -> None:
             out = subprocess.run(cmd, timeout=_ATTEMPT_TIMEOUT_S,
                                  capture_output=True, text=True)
         except subprocess.TimeoutExpired:
-            continue  # hung compile; next (smaller) rung after health check
+            break  # hung compile — keep whatever we already measured
+        result = None
         for line in out.stdout.splitlines():
             if line.startswith("{"):
-                print(line)
-                return
-    _emit("env_steps_per_s_aggregate_1chip", 0.0, REFERENCE_CPU_STEPS_PER_S)
+                result = json.loads(line)
+        if result is None:
+            break
+        if best is None or result["value"] > best["value"]:
+            best = result
+    if best is not None:
+        print(json.dumps(best))
+    else:
+        _emit("env_steps_per_s_aggregate_1chip", 0.0, REFERENCE_CPU_STEPS_PER_S)
 
 
 def main():
