@@ -43,10 +43,15 @@ def save(path: str, state: Any) -> None:
 
 
 def restore(path: str, like: Any) -> Any:
-    """Restore a checkpoint; ``like`` provides the pytree structure (e.g. the
-    output of ``init_fn``)."""
+    """Restore a checkpoint; ``like`` provides the pytree structure AND the
+    target shardings (e.g. the output of ``init_fn``) — so a checkpoint saved
+    on one topology (TPU) restores onto another (CPU) without relying on the
+    recorded device layout."""
     import orbax.checkpoint as ocp  # noqa: PLC0415
     path = os.path.abspath(path)
+    template = _encode(like)
+    restore_args = ocp.checkpoint_utils.construct_restore_args(template)
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, item=_encode(like))
+        restored = ckptr.restore(path, item=template,
+                                 restore_args=restore_args)
     return _decode(restored)
