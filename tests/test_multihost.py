@@ -1,0 +1,44 @@
+"""Real multi-process (multi-"host") validation over jax.distributed."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_TOOL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "multihost_smoke.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # the tool sets its own device count
+    procs = [subprocess.Popen(
+        [sys.executable, _TOOL, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+        assert "sharded_over=8 devices OK" in out, out[-2000:]
+    # Replicated loss must agree bit-for-bit across processes.
+    losses = {line.split("loss=")[1].split()[0]
+              for out in outs for line in out.splitlines() if "loss=" in line}
+    assert len(losses) == 1, losses
