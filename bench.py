@@ -102,7 +102,7 @@ def measure_ppo(batch: int, iters: int) -> float:
     runner = runner._replace(
         env_state=shard_batch(runner.env_state, mesh),
         last_obs=jax.device_put(runner.last_obs, env_sharding(mesh)))
-    step = jax.jit(train_step)
+    step = jax.jit(train_step, donate_argnums=0)
 
     runner, metrics = step(runner)  # compile
     jax.block_until_ready(metrics.total_loss)

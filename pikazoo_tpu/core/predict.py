@@ -49,8 +49,11 @@ ORDER_B = jnp.asarray([2, 1, 0, 5, 4, 3], jnp.int32)
 # Lane 0 uses the two-branch net rule; lanes 1-6 the power-hit (mistake) rule.
 _FULL_NET_RULE = jnp.asarray([1, 0, 0, 0, 0, 0, 0], jnp.int32)
 
-# Sub-iterations per while-loop trip in the lax fallback (see body()).
-_UNROLL = 8
+# Sub-iterations per while-loop trip in the lax fallback (see body());
+# tunable for experiments on hosts where the pallas kernel is unavailable.
+import os as _os
+
+_UNROLL = int(_os.environ.get("PIKAZOO_SIM_UNROLL", "8"))
 
 
 def landing_sims_any(ball_x: jnp.ndarray, ball_y: jnp.ndarray,

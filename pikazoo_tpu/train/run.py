@@ -51,7 +51,8 @@ def main(argv=None):
 
     from pikazoo_tpu.envs import EnvConfig, PikaZoo
     from pikazoo_tpu.parallel import (env_sharding, init_distributed,
-                                      make_env_mesh, shard_batch)
+                                      make_env_mesh, replicated_sharding,
+                                      shard_batch)
     from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
     from pikazoo_tpu.train import checkpoint as ckpt
     from pikazoo_tpu.utils import MetricsLogger, Throughput, profile_trace
@@ -88,9 +89,16 @@ def main(argv=None):
         print(f"resumed from update {start_update}", flush=True)
     runner = runner._replace(
         env_state=shard_batch(runner.env_state, mesh),
-        last_obs=jax.device_put(runner.last_obs, env_sharding(mesh)))
+        last_obs=jax.device_put(runner.last_obs, env_sharding(mesh)),
+        # Replicate learner state explicitly (a restored checkpoint comes
+        # back on a single device, which would conflict with the mesh).
+        params=jax.device_put(runner.params, replicated_sharding(mesh)),
+        opt_state=jax.device_put(runner.opt_state, replicated_sharding(mesh)),
+        key=jax.device_put(runner.key, replicated_sharding(mesh)))
 
-    step = jax.jit(train_step)
+    # Donating the runner lets XLA update params/opt/env state in place
+    # instead of copying the full buffers every update.
+    step = jax.jit(train_step, donate_argnums=0)
     logger = MetricsLogger(args.metrics, print_every=10)
     meter = Throughput(unit_steps=cfg.num_envs * cfg.rollout_length)
 
