@@ -87,14 +87,12 @@ def main(argv=None):
                               runner)
         start_update = int(np.asarray(runner.update_index))
         print(f"resumed from update {start_update}", flush=True)
+    # Replicate everything onto the mesh first (a restored checkpoint comes
+    # back on a single device, which would conflict), then shard the env axis.
+    runner = jax.device_put(runner, replicated_sharding(mesh))
     runner = runner._replace(
         env_state=shard_batch(runner.env_state, mesh),
-        last_obs=jax.device_put(runner.last_obs, env_sharding(mesh)),
-        # Replicate learner state explicitly (a restored checkpoint comes
-        # back on a single device, which would conflict with the mesh).
-        params=jax.device_put(runner.params, replicated_sharding(mesh)),
-        opt_state=jax.device_put(runner.opt_state, replicated_sharding(mesh)),
-        key=jax.device_put(runner.key, replicated_sharding(mesh)))
+        last_obs=jax.device_put(runner.last_obs, env_sharding(mesh)))
 
     # Donating the runner lets XLA update params/opt/env state in place
     # instead of copying the full buffers every update.
