@@ -112,9 +112,13 @@ def computer_decide_input(p: PlayerState, other: PlayerState, ball: BallState,
     accepted = ((candidate_landing_x <= left_boundary) |
                 (candidate_landing_x >= far_side)) & \
                (jnp.abs(candidate_landing_x - other.x) > C.PLAYER_LENGTH)
-    rank = jnp.where(accepted, position, i32(99))
-    found = jnp.min(rank, axis=0) < 99
-    first = jnp.argmin(rank, axis=0).astype(jnp.int32)
+    # Min over (rank * 8 + canonical index) both finds the smallest rank and
+    # carries its candidate index in the low bits — avoids argmin, whose
+    # int32 form Mosaic cannot lower inside Pallas kernels.
+    encoded = jnp.where(accepted, position, i32(99)) * 8 + c_idx
+    best = jnp.min(encoded, axis=0)
+    found = (best >> 3) < 99
+    first = best & 7
     will_power_hit = smash_consume & found
     cand_xd = (first < 3).astype(jnp.int32)
     cand_yd = (first % 3) - 1

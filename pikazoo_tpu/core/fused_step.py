@@ -105,9 +105,11 @@ def _fused_frame(cfg: EnvConfig, p1, p2, ball, game):
     inp1, latch1 = decode_action_arith(a1, game["latch1"])
     inp2, latch2 = decode_action_arith(a2, game["latch2"])
 
+    from pikazoo_tpu.core.predict import _landing_sims_impl
     fr = env_frame(cfg, ds, p1, p2, ball, game["score1"], game["score2"],
                    game["is_player2_serve"], game["round_ended"],
-                   game["game_ended"], inp1, inp2)
+                   game["game_ended"], inp1, inp2,
+                   landing_fn=_landing_sims_impl)
 
     game = dict(game, latch1=latch1, latch2=latch2, score1=fr.score1,
                 score2=fr.score2, is_player2_serve=fr.is_player2_serve,

@@ -100,7 +100,7 @@ class FrameResult(NamedTuple):
 def env_frame(cfg: "EnvConfig", ds: DrawState, p1: PlayerState,
               p2: PlayerState, ball: BallState, score1, score2,
               is_player2_serve, round_ended, game_ended,
-              inp1, inp2) -> FrameResult:
+              inp1, inp2, landing_fn=None) -> FrameResult:
     """One full environment frame on scalar (or any-shaped) int32 leaves.
 
     The single source of truth for the env-level semantics — lazy round /
@@ -141,7 +141,8 @@ def env_frame(cfg: "EnvConfig", ds: DrawState, p1: PlayerState,
 
     p1, p2, ball, touched, ds, sounds = physics_step(
         p1, p2, ball, inp1, inp2, ds,
-        cfg.is_player1_computer, cfg.is_player2_computer)
+        cfg.is_player1_computer, cfg.is_player2_computer,
+        landing_fn=landing_fn)
 
     score_event = (touched == 1) & (round_ended == 0) & (game_ended == 0)
     p2_scored = ball.punch_effect_x < C.GROUND_HALF_WIDTH
