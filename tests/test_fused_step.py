@@ -46,6 +46,11 @@ def test_fused_matches_scanned_serve_random():
              frames=60, seed=1)
 
 
+def test_fused_matches_scanned_serve_alternate():
+    _compare(EnvConfig(auto_reset=True, winning_score=1, serve="alternate"),
+             frames=60, seed=3)
+
+
 @pytest.mark.slow
 def test_fused_matches_scanned_computer_ai():
     _compare(EnvConfig(auto_reset=True, winning_score=2,
