@@ -1,61 +1,111 @@
 #!/usr/bin/env python
 """Benchmark: aggregate env-steps/s of the batched self-play env on TPU.
 
-Measures BASELINE config 4 (vectorized self-play with auto-reset, random
-18-way actions sampled on-device each frame) as a scanned, jitted rollout on
-the default backend (the real TPU chip under the driver).  Prints ONE JSON
-line: ``{"metric", "value", "unit", "vs_baseline"}`` where ``vs_baseline`` is
-the multiple of the reference implementation's measured single-env CPU
-throughput on this host (53,237 steps/s — see BASELINE.md).
+Default run measures BASELINE config 4 (vectorized self-play with auto-reset,
+random 18-way actions, single chip) and prints ONE JSON line
+``{"metric", "value", "unit", "vs_baseline"}`` where ``vs_baseline`` is the
+multiple of the reference implementation's measured single-env CPU throughput
+on this host (53,237 steps/s human / 19,742 steps/s AI — see BASELINE.md).
 
-Robustness: this host's remote-TPU tunnel can wedge (a hung compile blocks
-every program for ~45 min; recovery is automatic).  The default entry point
-therefore orchestrates the actual measurement in killable subprocesses,
-falling back from large to small configurations, and emits a zero measurement
-rather than hanging if the device never cooperates.
+Driver-safety contract (this host's remote-TPU tunnel can wedge a compile for
+~45 min, and the driver runs ``python bench.py`` under a hard timeout):
 
-Flags: ``--batch N`` ``--steps T`` ``--iters K`` (direct single measurement),
-``--computer`` (rule-AI path), ``--ppo`` (full actor-learner train step).
+* TOTAL wall time is bounded by ``PIKAZOO_BENCH_BUDGET_S`` (default 440 s).
+  Every subprocess timeout is clamped to the remaining budget.
+* Rungs run SMALL FIRST: a cheap rung locks in a valid measurement before any
+  big compile is attempted.
+* The best-so-far result is printed to stdout (flushed) the moment it exists
+  and re-printed on SIGTERM/SIGINT, so a driver that kills the run still
+  collects a number from the last line.
+* Measurements run in killable subprocesses; a hung compile costs one rung's
+  clamped timeout, never the whole run.
+
+Flags: ``--all`` (all five BASELINE configs, one JSON line each),
+``--computer`` (rule-AI path), ``--ppo`` (full actor-learner train step),
+``--config NAME`` with ``--batch/--steps/--iters`` (single direct run).
 """
 
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("PIKAZOO_FORCE_CPU") == "1":
+    # Test hook: this host's sitecustomize overrides JAX_PLATFORMS, so forcing
+    # the CPU backend (for benching the orchestration logic itself) must go
+    # through jax.config before first backend use.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 REFERENCE_CPU_STEPS_PER_S = 53_237.0  # measured: reference env, batch=1, this host
 REFERENCE_CPU_STEPS_PER_S_AI = 19_742.0
 
-# (batch, steps) ladder for the orchestrated default run — SMALL FIRST: a
-# quick cheap rung locks in a valid measurement before the bigger compiles
-# (killing a child mid-compile appears to be what wedges the terminal, so
-# never risk a big rung without a number already in hand).
-_LADDER = [(16_384, 200), (65_536, 500), (262_144, 1000)]
-_ATTEMPT_TIMEOUT_S = 480
-_HEALTH_WAIT_S = 420
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("PIKAZOO_BENCH_BUDGET_S", "440"))
+_DEADLINE = _T0 + _BUDGET_S
+_EXIT_RESERVE_S = 10.0  # always keep this much to emit results and exit
+
+HEADLINE_METRIC = "env_steps_per_s_aggregate_1chip"
+
+# Orchestrated rungs for the default (config 4) run, small first.  The fused
+# multi-frame kernel rung is the same env semantics (bit-exact vs the scanned
+# step — tests/test_fused_step.py + tools/fused_kernel_audit.py) with actions
+# sampled in-kernel from the shared threefry PRF.
+_DEFAULT_RUNGS = [
+    dict(config="batch", batch=16_384, steps=200, iters=2),
+    dict(config="batch", batch=262_144, steps=1000, iters=3),
+]
+if os.environ.get("PIKAZOO_BENCH_FUSED", "1") == "1":
+    _DEFAULT_RUNGS.append(dict(config="fused", batch=262_144, steps=1000,
+                               iters=3))
+if os.environ.get("PIKAZOO_BENCH_SMALL") == "1":  # smoke-test sizes
+    _DEFAULT_RUNGS = [dict(r, batch=min(r["batch"], 1024),
+                           steps=min(r["steps"], 50)) for r in _DEFAULT_RUNGS]
 
 
-def _await_device_health(max_wait_s: float = _HEALTH_WAIT_S) -> bool:
-    deadline = time.monotonic() + max_wait_s
-    probe = "import jax, jax.numpy as jnp; print(int(jnp.arange(4).sum()))"
-    while True:
-        try:
-            out = subprocess.run([sys.executable, "-c", probe], timeout=60,
-                                 capture_output=True)
-            if out.returncode == 0 and b"6" in out.stdout:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        if time.monotonic() > deadline:
-            return False
-        time.sleep(30)
+def _remaining() -> float:
+    return _DEADLINE - time.monotonic()
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
+def _mk(metric: str, steps_per_s: float, baseline: float) -> dict:
+    return {
+        "metric": metric,
+        "value": round(steps_per_s),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / baseline, 2),
+    }
+
+
+# --------------------------------------------------------------------------
+# Direct (in-process) measurements — one per BASELINE config.
+# --------------------------------------------------------------------------
+
+def _time_calls(fn, state, iters: int) -> float:
+    """Time ``iters`` sequential calls of a jitted ``state -> state`` step
+    after one untimed compile call; returns elapsed seconds."""
+    import jax
+
+    state = fn(state)  # compile, not timed
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = fn(state)
+    jax.block_until_ready(state)
+    return time.perf_counter() - t0
 
 
 def measure_env(batch: int, steps: int, iters: int, computer: bool) -> float:
+    """Config 4 (and config 2 with ``computer``): scanned batched rollout."""
     import jax
     import jax.numpy as jnp
 
@@ -74,20 +124,102 @@ def measure_env(batch: int, steps: int, iters: int, computer: bool) -> float:
         return (st, key), None
 
     @jax.jit
-    def rollout(state, key):
-        (state, key), _ = jax.lax.scan(body, (state, key), None, length=steps)
-        return state, key
+    def rollout(carry):
+        return jax.lax.scan(body, carry, None, length=steps)[0]
 
-    state, key = rollout(state, jax.random.key(1))  # compile, not timed
-    jax.block_until_ready(state)
-    t0 = time.perf_counter()
+    dt = _time_calls(rollout, (state, jax.random.key(1)), iters)
+    return batch * steps * iters / dt
+
+
+def measure_fused(batch: int, steps: int, iters: int, computer: bool) -> float:
+    """Config 4/2 through the fused multi-frame VMEM kernel.  Verifies the
+    frame counter actually advanced before reporting (a kernel that silently
+    no-ops must never produce a headline number)."""
+    import jax
+    import numpy as np
+
+    from pikazoo_tpu.core.fused_step import fused_rollout
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+
+    cfg = EnvConfig(auto_reset=True,
+                    is_player1_computer=computer,
+                    is_player2_computer=computer)
+    env = PikaZoo(cfg)
+    state, _ = env.reset_batch(jax.random.key(0), batch)
+    akey = jax.random.key(1)
+
+    def call(st):
+        return fused_rollout(st, akey, cfg, steps)
+
+    dt = _time_calls(call, state, iters)
+    # Proof of work: every env advanced exactly (1 + iters) * steps frames.
+    final = call(state)
     for _ in range(iters):
-        state, key = rollout(state, key)
-    jax.block_until_ready(state)
-    return batch * steps * iters / (time.perf_counter() - t0)
+        final = call(final)
+    sc = np.asarray(jax.block_until_ready(final.step_count))
+    base = np.asarray(state.step_count)
+    expect = (1 + iters) * steps
+    assert (sc - base == expect).all(), \
+        f"fused kernel frame-count proof failed: {sc - base} != {expect}"
+    return batch * steps * iters / dt
+
+
+def measure_batch1(steps: int, iters: int) -> float:
+    """Config 1: single env (batch=1), defaults, human agents, scanned."""
+    import jax
+    import jax.numpy as jnp
+
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    state, _ = env.reset(jax.random.key(0))
+
+    def body(carry, _):
+        st, key = carry
+        key, sub = jax.random.split(key)
+        acts = jax.random.randint(sub, (2,), 0, 18, jnp.int32)
+        st, _ts = env.step(st, acts)
+        return (st, key), None
+
+    @jax.jit
+    def rollout(carry):
+        return jax.lax.scan(body, carry, None, length=steps)[0]
+
+    dt = _time_calls(rollout, (state, jax.random.key(1)), iters)
+    return steps * iters / dt
+
+
+def measure_wrappers(batch: int, steps: int, iters: int) -> float:
+    """Config 3: SimplifyAction + RewardByBallPosition stack, serve=random."""
+    import jax
+    import jax.numpy as jnp
+
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+    from pikazoo_tpu.wrappers import RewardByBallPosition, SimplifyAction
+
+    env = SimplifyAction(RewardByBallPosition(
+        PikaZoo(EnvConfig(auto_reset=True, serve="random")),
+        additional_reward=(0.01, 0.02, -0.01, -0.02,
+                           -0.01, -0.02, 0.01, 0.02)))
+    state, _ = env.reset_batch(jax.random.key(0), batch)
+
+    def body(carry, _):
+        st, key = carry
+        key, sub = jax.random.split(key)
+        acts = jax.random.randint(sub, (batch, 2), 0, 13, jnp.int32)
+        st, _ts = env.step_batch(st, acts)
+        return (st, key), None
+
+    @jax.jit
+    def rollout(carry):
+        return jax.lax.scan(body, carry, None, length=steps)[0]
+
+    dt = _time_calls(rollout, (state, jax.random.key(1)), iters)
+    return batch * steps * iters / dt
 
 
 def measure_ppo(batch: int, iters: int) -> float:
+    """Config 5 single-host path: full PPO train step on the device mesh."""
     import jax
 
     from pikazoo_tpu.envs import EnvConfig, PikaZoo
@@ -113,69 +245,157 @@ def measure_ppo(batch: int, iters: int) -> float:
     return cfg.num_envs * cfg.rollout_length * iters / (time.perf_counter() - t0)
 
 
-def _emit(metric: str, steps_per_s: float, baseline: float) -> None:
-    print(json.dumps({
-        "metric": metric,
-        "value": round(steps_per_s),
-        "unit": "env-steps/s",
-        "vs_baseline": round(steps_per_s / baseline, 2),
-    }))
+_CONFIGS = {
+    # name -> (measure fn from argparse args, metric, baseline denominator)
+    "batch": (lambda a: measure_env(a.batch, a.steps, a.iters, False),
+              HEADLINE_METRIC, REFERENCE_CPU_STEPS_PER_S),
+    "fused": (lambda a: measure_fused(a.batch, a.steps, a.iters, False),
+              HEADLINE_METRIC, REFERENCE_CPU_STEPS_PER_S),
+    "computer": (lambda a: measure_env(a.batch, a.steps, a.iters, True),
+                 "env_steps_per_s_aggregate_1chip_computer_ai",
+                 REFERENCE_CPU_STEPS_PER_S_AI),
+    "fused_computer": (lambda a: measure_fused(a.batch, a.steps, a.iters, True),
+                       "env_steps_per_s_aggregate_1chip_computer_ai",
+                       REFERENCE_CPU_STEPS_PER_S_AI),
+    "batch1": (lambda a: measure_batch1(a.steps, a.iters),
+               "env_steps_per_s_batch1_1chip", REFERENCE_CPU_STEPS_PER_S),
+    "wrappers": (lambda a: measure_wrappers(a.batch, a.steps, a.iters),
+                 "env_steps_per_s_aggregate_1chip_wrapper_stack",
+                 REFERENCE_CPU_STEPS_PER_S),
+    "ppo": (lambda a: measure_ppo(a.batch, a.iters),
+            "ppo_env_steps_per_s_full_train_step_1chip",
+            REFERENCE_CPU_STEPS_PER_S),
+}
 
 
 def _run_direct(args) -> None:
-    if args.ppo:
-        _emit("ppo_env_steps_per_s_full_train_step_1chip",
-              measure_ppo(args.batch, args.iters), REFERENCE_CPU_STEPS_PER_S)
-    else:
-        baseline = (REFERENCE_CPU_STEPS_PER_S_AI if args.computer
-                    else REFERENCE_CPU_STEPS_PER_S)
-        metric = "env_steps_per_s_aggregate_1chip" + \
-            ("_computer_ai" if args.computer else "")
-        _emit(metric, measure_env(args.batch, args.steps, args.iters,
-                                  args.computer), baseline)
+    fn, metric, baseline = _CONFIGS[args.config]
+    _emit(_mk(metric, fn(args), baseline))
 
 
-def _ladder_pass(args):
-    """One walk of the ladder small -> large in killable children; returns
-    the best completed measurement (or None), stopping at the first hang."""
-    best = None
-    for batch, steps in _LADDER:
-        if not _await_device_health():
-            break
-        cmd = [sys.executable, os.path.abspath(__file__), "--_direct",
-               "--batch", str(batch), "--steps", str(steps),
-               "--iters", str(args.iters)]
-        if args.computer:
-            cmd.append("--computer")
-        if args.ppo:
-            cmd.append("--ppo")
+# --------------------------------------------------------------------------
+# Orchestration: killable subprocesses under the global budget.
+# --------------------------------------------------------------------------
+
+def _await_device_health(max_wait_s: float) -> bool:
+    """Quick probe loop; never spends more than ``max_wait_s`` nor crosses
+    the global deadline."""
+    deadline = min(time.monotonic() + max_wait_s, _DEADLINE - _EXIT_RESERVE_S)
+    probe = "import jax, jax.numpy as jnp; " \
+            "jax.config.update('jax_platforms', 'cpu') " \
+            "if __import__('os').environ.get('PIKAZOO_FORCE_CPU') == '1' " \
+            "else None; print(int(jnp.arange(4).sum()))"
+    while True:
         try:
-            out = subprocess.run(cmd, timeout=_ATTEMPT_TIMEOUT_S,
-                                 capture_output=True, text=True)
+            out = subprocess.run([sys.executable, "-c", probe], timeout=45,
+                                 capture_output=True)
+            if out.returncode == 0 and b"6" in out.stdout:
+                return True
         except subprocess.TimeoutExpired:
-            break  # hung compile — keep whatever we already measured
-        result = None
-        for line in out.stdout.splitlines():
-            if line.startswith("{"):
-                result = json.loads(line)
+            pass
+        if time.monotonic() + 30 > deadline:
+            return False
+        time.sleep(15)
+
+
+def _attempt(rung: dict, iters_default: int) -> dict | None:
+    """Run one rung in a killable child; returns its parsed JSON or None."""
+    timeout = min(300.0, _remaining() - _EXIT_RESERVE_S)
+    if timeout < 45:
+        return None
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--config", rung["config"],
+           "--batch", str(rung.get("batch", 1)),
+           "--steps", str(rung.get("steps", 200)),
+           "--iters", str(rung.get("iters", iters_default))]
+    try:
+        out = subprocess.run(cmd, timeout=timeout, capture_output=True,
+                             text=True)
+    except subprocess.TimeoutExpired:
+        return None
+    result = None
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            result = json.loads(line)
+    return result
+
+
+class _Best:
+    """Best-so-far tracker that prints to stdout on every improvement and can
+    re-emit from a signal handler."""
+
+    def __init__(self):
+        self.result = None
+
+    def offer(self, result: dict | None) -> None:
         if result is None:
-            break
-        if best is None or result["value"] > best["value"]:
-            best = result
-    return best
+            return
+        if self.result is None or result["value"] > self.result["value"]:
+            self.result = result
+            _emit(result)
+
+    def emit_final(self) -> None:
+        if self.result is not None:
+            _emit(self.result)
+        else:
+            _emit(_mk(HEADLINE_METRIC, 0.0, REFERENCE_CPU_STEPS_PER_S))
+
+
+_BEST = _Best()
+
+
+def _sig_handler(signum, frame):
+    del signum, frame
+    _BEST.emit_final()
+    os._exit(0)
 
 
 def _orchestrate(args) -> None:
-    best = _ladder_pass(args)
-    if best is None:
-        # A wedged tunnel typically recovers in ~30-45 min; one cool-down and
-        # retry gives the measurement a second chance within a bounded run.
-        time.sleep(600)
-        best = _ladder_pass(args)
-    if best is not None:
-        print(json.dumps(best))
-    else:
-        _emit("env_steps_per_s_aggregate_1chip", 0.0, REFERENCE_CPU_STEPS_PER_S)
+    signal.signal(signal.SIGTERM, _sig_handler)
+    signal.signal(signal.SIGINT, _sig_handler)
+    _await_device_health(90)
+    for rung in _DEFAULT_RUNGS:
+        if _remaining() < 60:
+            break
+        _BEST.offer(_attempt(rung, args.iters))
+    _BEST.emit_final()
+
+
+def _orchestrate_all(args) -> None:
+    """All five BASELINE configs, one JSON line each; the headline (config 4)
+    runs first so a truncated run still reports it.  Results are also written
+    to artifacts/bench_all.json."""
+    signal.signal(signal.SIGTERM, _sig_handler)
+    signal.signal(signal.SIGINT, _sig_handler)
+    _await_device_health(90)
+    plan = [
+        dict(config="batch", batch=262_144, steps=1000, iters=3),
+        dict(config="fused", batch=262_144, steps=1000, iters=3),
+        dict(config="fused_computer", batch=262_144, steps=1000, iters=3),
+        dict(config="computer", batch=65_536, steps=500, iters=2),
+        dict(config="wrappers", batch=65_536, steps=500, iters=2),
+        dict(config="batch1", steps=1000, iters=3),
+        dict(config="ppo", batch=65_536, iters=3),
+    ]
+    results = []
+    for rung in plan:
+        if _remaining() < 60:
+            break
+        result = _attempt(rung, args.iters)
+        if result is not None:
+            result = dict(result, config=rung["config"])
+            results.append(result)
+            _emit(result)
+            if rung["config"] in ("batch", "fused"):
+                _BEST.offer({k: result[k] for k in
+                             ("metric", "value", "unit", "vs_baseline")})
+    try:
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/bench_all.json", "w") as f:
+            json.dump(results, f, indent=1)
+    except OSError:
+        pass
+    _BEST.emit_final()
 
 
 def main():
@@ -183,16 +403,37 @@ def main():
     parser.add_argument("--batch", type=int, default=262_144)
     parser.add_argument("--steps", type=int, default=1000)
     parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--all", action="store_true",
+                        help="measure all five BASELINE configs")
     parser.add_argument("--computer", action="store_true",
                         help="bench computer-AI self-play (config 2 path)")
     parser.add_argument("--ppo", action="store_true",
-                        help="bench the full PPO actor-learner train step "
-                             "(config 5 single-host path)")
-    parser.add_argument("--_direct", action="store_true",
-                        help="internal: run one measurement in-process")
+                        help="bench the full PPO actor-learner train step")
+    parser.add_argument("--config", choices=sorted(_CONFIGS),
+                        help="run ONE measurement in-process (no orchestration)")
     args = parser.parse_args()
-    if args._direct:
+    if args.config:
         _run_direct(args)
+    elif args.all:
+        _orchestrate_all(args)
+    elif args.computer:
+        signal.signal(signal.SIGTERM, _sig_handler)
+        _await_device_health(90)
+        for rung in [dict(config="computer", batch=16_384, steps=200, iters=2),
+                     dict(config="computer", batch=65_536, steps=500,
+                          iters=2),
+                     dict(config="fused_computer", batch=262_144, steps=1000,
+                          iters=3)]:
+            if _remaining() < 60:
+                break
+            _BEST.offer(_attempt(rung, args.iters))
+        _BEST.emit_final()
+    elif args.ppo:
+        signal.signal(signal.SIGTERM, _sig_handler)
+        _await_device_health(90)
+        _BEST.offer(_attempt(dict(config="ppo", batch=65_536, iters=3),
+                             args.iters))
+        _BEST.emit_final()
     else:
         _orchestrate(args)
 
