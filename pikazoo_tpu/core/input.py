@@ -6,8 +6,10 @@ The env exposes ``Discrete(18)`` actions decoded through an 18x5 key table
 ``physics.py:59-99``).  The latch ``power_hit_key_is_down_previous`` is part
 of the observation (dims 12/25) and lives in env state.
 
-The reference's vestigial 6th ``down_right`` key is never fed by the env
-(action rows are 5-wide), so it is omitted here.
+The env only ever feeds 5-wide key rows, but the reference engine also
+accepts a vestigial 6th ``down_right`` key (``physics.py:78-80``, a diagonal
+combo key from the original game's keyboard layout): :func:`decode_keys`
+supports both widths at the engine layer.
 """
 
 from __future__ import annotations
@@ -62,6 +64,31 @@ def decode_action(action: jnp.ndarray, latch_prev: jnp.ndarray
     xd = ACTION_X_DIRECTION[action]
     yd = ACTION_Y_DIRECTION[action]
     power_key = ACTION_POWER_KEY[action]
+    power_hit = jnp.where((latch_prev == 0) & (power_key == 1),
+                          jnp.int32(1), jnp.int32(0))
+    return PlayerInput(xd, yd, power_hit), power_key
+
+
+def decode_keys(keys: jnp.ndarray, latch_prev: jnp.ndarray
+                ) -> Tuple[PlayerInput, jnp.ndarray]:
+    """Engine-level key-vector decode (``PikaUserInput.get_input``,
+    ``physics.py:59-99``): ``keys`` is ``[left, right, up, down, power_hit]``
+    or the 6-wide variant with the vestigial ``down_right`` combo key
+    (``physics.py:78-80``).  ``down_right`` acts as right+down, with left/up
+    taking precedence — exactly the reference's elif chains
+    (``physics.py:81-93``).  Rising-edge power-hit as in
+    :func:`decode_action`."""
+    keys = jnp.asarray(keys)
+    assert keys.shape[-1] in (5, 6), "keys must be 5- or 6-wide"
+    left, right, up, down, power_key = (keys[..., i] for i in range(5))
+    down_right = keys[..., 5] if keys.shape[-1] == 6 else jnp.zeros_like(left)
+    xd = jnp.where(left == 1, jnp.int32(-1),
+                   jnp.where((right == 1) | (down_right == 1),
+                             jnp.int32(1), jnp.int32(0)))
+    yd = jnp.where(up == 1, jnp.int32(-1),
+                   jnp.where((down == 1) | (down_right == 1),
+                             jnp.int32(1), jnp.int32(0)))
+    power_key = power_key.astype(jnp.int32)
     power_hit = jnp.where((latch_prev == 0) & (power_key == 1),
                           jnp.int32(1), jnp.int32(0))
     return PlayerInput(xd, yd, power_hit), power_key
