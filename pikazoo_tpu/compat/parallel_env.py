@@ -47,7 +47,9 @@ class raw_env:  # noqa: N801 — matches the reference class name
                  is_player1_computer: bool = False,
                  is_player2_computer: bool = False,
                  render_mode: Optional[str] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 render_rng_coupled: bool = False,
+                 sprite_dir: Optional[str] = None):
         self.possible_agents = ["player_1", "player_2"]
         self.agents = self.possible_agents[:]
         self._config = EnvConfig(
@@ -64,10 +66,23 @@ class raw_env:  # noqa: N801 — matches the reference class name
         self._state = None
         self.scores = [0, 0]
         self.render_mode = render_mode
-        self._renderer = Renderer(render_mode, seed=seed & 0xFFFFFFFF)
         # Perform the reference's construction-time initialization so that a
         # pre-reset step() (out of contract, but possible) sees sane state.
+        # Constructed BEFORE the renderer: in coupled mode the renderer's 40
+        # cloud-construction draws follow the boldness/serve draws, exactly
+        # the reference's construction order (physics at pikazoo_env.py:97,
+        # get_all_image clouds at :475-479).
         self._do_reset()
+        # Opt-in reference-compatible render RNG coupling: cloud/wave
+        # dynamics consume the env's draw-slot stream, so rendering perturbs
+        # subsequent gameplay draws like the reference (cloud_and_wave.py
+        # drawing from self.np_random, pikazoo_env.py:349).
+        self._render_rng_coupled = bool(render_rng_coupled and render_mode)
+        self._draws_dirty = False
+        draw_source = self._coupled_draw if self._render_rng_coupled else None
+        self._renderer = Renderer(render_mode, seed=seed & 0xFFFFFFFF,
+                                  sprite_dir=sprite_dir,
+                                  draw_source=draw_source)
 
     # ------------------------------------------------------------ spaces --
     @functools.lru_cache(maxsize=None)
@@ -86,7 +101,33 @@ class raw_env:  # noqa: N801 — matches the reference class name
         key = jax.random.fold_in(self._key, self._episode_index)
         self._episode_index += 1
         self._state, ts = self._env.reset(key, carry=self._state)
+        if getattr(self, "_render_rng_coupled", False):
+            self._sync_draw_host()
         return ts
+
+    # Host-side mirror of (rng_key, draw_counter) so coupled render draws
+    # cost no device round trip each; flushed back into the state pytree
+    # before the next jitted step.
+    def _sync_draw_host(self):
+        self._rng_key_host = np.asarray(self._state.rng_key)
+        self._draw_counter_host = int(np.asarray(self._state.draw_counter))
+        self._draws_dirty = False
+
+    def _flush_draw_host(self):
+        if self._draws_dirty:
+            self._state = self._state._replace(
+                draw_counter=jnp.int32(self._draw_counter_host))
+            self._draws_dirty = False
+
+    def _coupled_draw(self, upper: int) -> int:
+        from pikazoo_tpu.core.rng import site_value_host  # noqa: PLC0415
+        if not hasattr(self, "_rng_key_host"):
+            self._sync_draw_host()
+        value = site_value_host(self._rng_key_host, self._draw_counter_host,
+                                upper)
+        self._draw_counter_host += 1
+        self._draws_dirty = True
+        return value
 
     def reset(self, seed=None, options=None):
         # NOTE: ``seed`` ignored on purpose (reference quirk, see module doc).
@@ -100,8 +141,12 @@ class raw_env:  # noqa: N801 — matches the reference class name
         return self._obs_dict(ts), self._infos()
 
     def step(self, actions: Dict[str, int]):
+        if self._render_rng_coupled:
+            self._flush_draw_host()
         acts = jnp.asarray([int(actions[a]) for a in self.agents], jnp.int32)
         self._state, ts = self._step(self._state, acts)
+        if self._render_rng_coupled:
+            self._sync_draw_host()
         scores = np.asarray(ts.scores)
         self.scores[0] = int(scores[0])
         self.scores[1] = int(scores[1])

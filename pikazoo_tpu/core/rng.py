@@ -105,6 +105,29 @@ def site_value(key: jnp.ndarray, counter: jnp.ndarray, upper: int
     return (bits % jnp.uint32(upper)).astype(jnp.int32)
 
 
+def site_value_host(key, counter: int, upper: int) -> int:
+    """Pure-Python mirror of :func:`site_value` for host-side consumers (the
+    render path's coupled cloud/wave draws) — bit-identical to the traced
+    version, with no device dispatch per draw.  ``key`` is any (2,)-shaped
+    uint32 array-like."""
+    mask = 0xFFFFFFFF
+    k0 = int(key[0]) & mask
+    k1 = int(key[1]) & mask
+    k2 = (k0 ^ k1 ^ _PARITY_CONST) & mask
+    ks = (k0, k1, k2)
+    x0 = (int(counter) + k0) & mask
+    x1 = (SITE_TAG + k1) & mask
+    for block in range(5):
+        for r in _ROTATIONS[block % 2]:
+            x0 = (x0 + x1) & mask
+            x1 = ((x1 << r) | (x1 >> (32 - r))) & mask
+            x1 ^= x0
+        inject = block + 1
+        x0 = (x0 + ks[inject % 3]) & mask
+        x1 = (x1 + ks[(inject + 1) % 3] + inject) & mask
+    return x0 % upper
+
+
 class DrawState(NamedTuple):
     """Carries the RNG stream through one step: the env's (2,) uint32 key
     (constant for the step), the masked cumulative draw counter, and an

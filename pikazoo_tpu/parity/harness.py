@@ -89,6 +89,7 @@ def record_reference_trace(
     is_player2_computer: bool = False,
     stop_on_termination: bool = True,
     wrap: Optional[Callable] = None,
+    render_each_step: bool = False,
 ) -> ReferenceTrace:
     """Run the reference env, recording trajectory and draw stream.
 
@@ -96,14 +97,31 @@ def record_reference_trace(
     generator so it does not disturb the spied stream).  ``wrap`` optionally
     wraps the raw reference env (for wrapper-stack parity runs); recording
     always reads the *unwrapped* trajectory via the wrapper chain's returns.
+
+    ``render_each_step`` constructs the env with ``render_mode="rgb_array"``
+    and calls ``render()`` after reset and after every step, so the recorded
+    draw stream includes the cloud/wave draws the reference render path
+    consumes from the gameplay generator (``pikazoo_env.py:349``) — the spy
+    is spliced after construction, so the 40 cloud-construction draws are
+    NOT in the stream (they come from the pre-splice generator).
     """
     pikazoo_v0 = _import_reference()
     env = pikazoo_v0.env(
         winning_score=winning_score, serve=serve,
         is_player1_computer=is_player1_computer,
-        is_player2_computer=is_player2_computer)
+        is_player2_computer=is_player2_computer,
+        render_mode="rgb_array" if render_each_step else None)
     spy = SpyGenerator(seed)
     _splice_spy(env, spy)
+    raw = env
+    if render_each_step:
+        # The reference constructs clouds from its construction-time
+        # (unseeded) generator; rebuild them from the spy so the cloud state
+        # — and hence the data-dependent respawn draw schedule — is part of
+        # the recorded stream and reproducible by the replayer.
+        from pikazoo.env.cloud_and_wave import Cloud, Wave  # noqa: PLC0415
+        raw.cloud_array = [Cloud(spy) for _ in range(raw.NUM_OF_CLOUDS)]
+        raw.wave_ = Wave()
     if wrap is not None:
         env = wrap(env)
 
@@ -112,6 +130,8 @@ def record_reference_trace(
     obs_list, rew_list, term_list, score_list, act_list, dc_list = \
         [], [], [], [], [], []
     obs, _ = env.reset()
+    if render_each_step:
+        raw.render()
     obs_list.append(np.stack([obs["player_1"], obs["player_2"]]))
     draw_count_after_reset = len(spy.log)
 
@@ -120,6 +140,8 @@ def record_reference_trace(
         act_list.append(a)
         obs, rew, term, _trunc, info = env.step(
             {"player_1": int(a[0]), "player_2": int(a[1])})
+        if render_each_step:
+            raw.render()
         obs_list.append(np.stack([obs["player_1"], obs["player_2"]]))
         rew_list.append([rew["player_1"], rew["player_2"]])
         term_list.append(bool(term["player_1"]))

@@ -6,15 +6,21 @@ cues), ball with rotation marker and hyper-ball tint, power-hit trail from the
 ball's position history, shrinking punch effect, and score boards (reference
 draw path: ``pikazoo_env.py:250-362``).
 
-Sprites are procedural: the reference's PNG assets are not copied into this
-repo, so the scene is geometrically faithful (same positions, sizes, flip
-logic) but stylized.  ``human`` mode blits through pygame when available;
-``rgb_array`` returns an (H, W, 3) uint8 frame like the reference.
+Sprites are procedural by default: the reference's PNG assets are not copied
+into this repo, so the scene is geometrically faithful (same positions,
+sizes, flip logic) but stylized.  Users with the original assets can pass
+``sprite_dir=`` (or set ``PIKAZOO_SPRITE_DIR``) for pixel-faithful frames
+through :mod:`pikazoo_tpu.render.sprites`.  ``human`` mode blits through
+pygame; ``rgb_array`` returns an (H, W, 3) uint8 frame like the reference.
 
-Divergence (documented): the reference's decorative clouds/wave consume RNG
-draws from the *physics* generator, so rendering perturbs gameplay streams
-(``cloud_and_wave.py``).  Here rendering is a pure read of the state — cloud
-and wave motion use a private host RNG and never touch the draw-slot counter.
+RNG coupling: in the reference, the decorative clouds/wave consume draws from
+the *physics* generator, so rendering perturbs gameplay streams
+(``cloud_and_wave.py``; SURVEY section 2.3).  By default this renderer is a
+pure read of env state (cloud/wave motion from a private host RNG).  Passing
+``draw_source`` (a ``draw(upper) -> int`` callable over the env's draw-slot
+stream — see ``compat.parallel_env`` ``render_rng_coupled``) reproduces the
+reference's coupled behavior exactly, including the 40 cloud-construction
+draws and the per-frame engine draw order.
 """
 
 from __future__ import annotations
@@ -22,6 +28,8 @@ from __future__ import annotations
 import numpy as np
 
 from pikazoo_tpu.core import constants as C
+from pikazoo_tpu.render.cloud_wave import CloudWave
+from pikazoo_tpu.render.sprites import SpriteSet, find_sprite_dir
 
 _SKY = (140, 200, 240)
 _GROUND_RED = (208, 96, 88)
@@ -36,6 +44,7 @@ _TRAIL = (250, 140, 130)
 _PUNCH = (255, 255, 255)
 _SCORE = (16, 16, 16)
 _CLOUD = (250, 250, 250)
+_WAVE = (64, 120, 208)
 
 # 3x5 digit font for the score boards.
 _DIGITS = {
@@ -92,43 +101,59 @@ def _digit(img, x, y, d, scale=4):
 class Renderer:
     """Stateful host renderer; one instance per (compat) env."""
 
-    def __init__(self, render_mode: str | None = None, seed: int = 0):
+    def __init__(self, render_mode: str | None = None, seed: int = 0,
+                 sprite_dir: str | None = None, draw_source=None):
         self.render_mode = render_mode
         self._screen = None
         self._clock = None
         self._rng = np.random.default_rng(seed)
         self._punch_radius = 0
-        # Decorative clouds: x, y, velocity, size-phase (same ranges as the
-        # reference Cloud class, private RNG).
-        n = 10
-        self._cloud_x = self._rng.integers(-68, 432, n)
-        self._cloud_y = self._rng.integers(0, 152, n)
-        self._cloud_v = 1 + self._rng.integers(0, 2, n)
-        self._cloud_phase = self._rng.integers(0, 11, n)
+        self._draw_source = draw_source or \
+            (lambda upper: int(self._rng.integers(0, upper)))
+        # Cloud construction draws (reference get_all_image,
+        # pikazoo_env.py:475-479): 40 draws from the coupled stream when a
+        # draw_source is given, private RNG otherwise.
+        self._cloud_wave = CloudWave(self._draw_source)
+        resolved = find_sprite_dir(sprite_dir)
+        self._sprites = SpriteSet(resolved) if resolved else None
 
     def _scalar(self, v) -> int:
         return int(np.asarray(v))
 
     def draw(self, state) -> np.ndarray:
         s = self._scalar
+
+        # Cloud/wave dynamics run once per drawn frame, consuming draws from
+        # the coupled stream or the private RNG (reference draw order:
+        # cloud_and_wave_engine runs first inside draw_clouds_and_wave,
+        # pikazoo_env.py:345-349).
+        self._cloud_wave.step(self._draw_source)
+
+        if self._sprites is not None:
+            pr = s(state.ball.punch_effect_radius)
+            if pr > self._punch_radius:
+                self._punch_radius = pr
+            frame = self._sprites.draw(state, self._cloud_wave,
+                                       self._punch_radius, s)
+            self._punch_radius = max(0, self._punch_radius - 2)
+            return frame
+
         img = np.empty((C.GROUND_HEIGHT, C.GROUND_WIDTH, 3), np.uint8)
         img[:] = _SKY
 
-        # Clouds drift (private RNG — see module docstring).
-        self._cloud_x += self._cloud_v
-        wrapped = self._cloud_x > 432
-        self._cloud_x[wrapped] = -68
-        self._cloud_y[wrapped] = self._rng.integers(0, 152, wrapped.sum())
-        self._cloud_phase = (self._cloud_phase + 1) % 11
-        for cx, cy, ph in zip(self._cloud_x, self._cloud_y, self._cloud_phase):
-            d = 5 - abs(int(ph) - 5)
-            _fill(img, int(cx) - d, int(cy) - d, int(cx) + 48 + d,
-                  int(cy) + 24 + d, _CLOUD)
+        for (cx, cy, cw, ch) in self._cloud_wave.cloud_rects():
+            _fill(img, cx, cy, cx + cw, cy + ch, _CLOUD)
 
         # Court strata (reference rows: red 248, line 264, yellow 280+).
         _fill(img, 0, 248, C.GROUND_WIDTH, 264, _GROUND_RED)
         _fill(img, 0, 264, C.GROUND_WIDTH, 280, _GROUND_LINE)
         _fill(img, 0, 280, C.GROUND_WIDTH, C.GROUND_HEIGHT, _GROUND_YELLOW)
+
+        # Shoreline wave columns (reference draws 16-wide wave sprites at
+        # cloud_wave.wave_y; only the top slice reaches into the 304-high
+        # frame).  Drawn over the ground strata like the reference.
+        for i, wy in enumerate(self._cloud_wave.wave_y):
+            _fill(img, i * 16, wy, (i + 1) * 16, wy + 16, _WAVE)
 
         # Net pillar (sprite at x=213, top at y=176).
         _fill(img, 213, C.NET_PILLAR_TOP_TOP_Y_COORD, 219, 264, _NET)
