@@ -56,49 +56,29 @@ import os as _os
 _UNROLL = int(_os.environ.get("PIKAZOO_SIM_UNROLL", "8"))
 
 
-def landing_sims_any(ball_x: jnp.ndarray, ball_y: jnp.ndarray,
-                     ball_vx: jnp.ndarray, ball_vy: jnp.ndarray
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Shape-generic 7-lane landing simulation.
+def _sim_loop(x, y, vx, vy, full_rule: bool):
+    """Bounded landing loop over any-shaped int32 state; ``full_rule`` is a
+    STATIC flag selecting the main predictor's two-branch net model (strict
+    top test + side push-out, ``physics.py:665-676``) vs the power-hit
+    variant's flip-only mistake model (``physics.py:856-866``).
 
-    Inputs may be scalars or arrays of any shape S; returns
-    ``(expected_landing_point_x with shape S, candidates with shape (6,)+S)``.
-    Uses only iota-built constants and elementwise ops, so the same function
-    runs under jit/vmap AND inside Pallas kernels (which cannot capture array
-    constants).
+    Slim carry (x, y, vx, vy, count): the while-loop round-trips its carry
+    through HBM every trip under vmap, so the carry IS the bandwidth bill.
+    Two invariants make the usual done/result arrays redundant:
+      * a live lane's vx never becomes 0 (the wall and net rules only
+        negate it), so vx == 0 exactly encodes "finished or never-live";
+      * x is not advanced on the finishing iteration (the reference breaks
+        before the x update), so a finished lane's frozen x IS its result.
+    Booleans stay out of the carry for Mosaic (no i1 vector legalization).
     """
-    shape = jnp.shape(ball_x)
-    lane_shape = (7,) + tuple(1 for _ in shape)
-    if shape:
-        lane = jax.lax.broadcasted_iota(jnp.int32, lane_shape, 0)
-    else:
-        # 1-D iota is fine outside pallas; scalars never occur inside it.
-        lane = jnp.arange(7, dtype=jnp.int32).reshape(lane_shape)
-    # Candidate tables from arithmetic: lanes 1..6 map to k = lane-1 with
-    # |x_dir| = (k < 3) and y_dir = (k % 3) - 1 (canonical order "A").
-    k = jnp.maximum(lane - 1, 0)
-    cand_abs_xd = (k < 3).astype(jnp.int32)
-    cand_yd = (k % 3) - 1
-    full_rule = lane == 0
 
-    x = jnp.broadcast_to(ball_x, (7,) + shape).astype(jnp.int32)
-    y = jnp.broadcast_to(ball_y, (7,) + shape).astype(jnp.int32)
-    # Power-hit candidate initial velocities (physics.py:841-845).
-    speed = (cand_abs_xd + 1) * 10
-    cand_vx = jnp.where(ball_x < C.GROUND_HALF_WIDTH, speed, -speed)
-    cand_vy = jnp.abs(ball_vy) * cand_yd * 2
-    vx = jnp.where(full_rule, ball_vx, cand_vx)
-    vy = jnp.where(full_rule, ball_vy, cand_vy)
-
-    # The done mask is carried as int32: Mosaic cannot legalize i1 vectors in
-    # while-loop carries, and this function also runs inside Pallas kernels.
     def cond(carry):
-        _, _, _, _, _, done_i, _ = carry
-        return jnp.any(done_i == 0)
+        _, _, vx, _, _ = carry
+        return jnp.any(vx != 0)
 
     def one_iteration(carry):
-        x, y, vx, vy, count, done_i, result = carry
-        done = done_i == 1
+        x, y, vx, vy, count = carry
+        live = vx != 0
         # The iteration counter is a SCALAR: every still-live lane has been
         # live since iteration 0, so its private loop_counter equals the
         # global iteration index; finished lanes no longer read it.
@@ -111,47 +91,96 @@ def landing_sims_any(ball_x: jnp.ndarray, ball_y: jnp.ndarray,
 
         at_net = (jnp.abs(x - C.GROUND_HALF_WIDTH) < C.NET_PILLAR_HALF_WIDTH) & \
                  (y > C.NET_PILLAR_TOP_TOP_Y_COORD)
-        # Main predictor: strict < on the top band, side push-out below.
-        on_top = y < C.NET_PILLAR_TOP_BOTTOM_Y_COORD
-        flip_vy = at_net & (vy1 > 0) & (~full_rule | on_top)
-        vy2 = jnp.where(flip_vy, -vy1, vy1)
-        side_vx = jnp.where(x < C.GROUND_HALF_WIDTH, -jnp.abs(vx1), jnp.abs(vx1))
-        vx2 = jnp.where(at_net & full_rule & ~on_top, side_vx, vx1)
+        if full_rule:
+            # Main predictor: strict < on the top band, side push-out below.
+            on_top = y < C.NET_PILLAR_TOP_BOTTOM_Y_COORD
+            vy2 = jnp.where(at_net & (vy1 > 0) & on_top, -vy1, vy1)
+            side_vx = jnp.where(x < C.GROUND_HALF_WIDTH,
+                                -jnp.abs(vx1), jnp.abs(vx1))
+            vx2 = jnp.where(at_net & ~on_top, side_vx, vx1)
+        else:
+            vy2 = jnp.where(at_net & (vy1 > 0), -vy1, vy1)
+            vx2 = vx1
 
         y1 = y + vy2
         finished = (y1 > C.BALL_TOUCHING_GROUND_Y_COORD) | \
                    (count1 >= C.INFINITE_LOOP_LIMIT)
-        # On the finishing iteration x is NOT advanced — the result is x at
-        # iteration entry (reference breaks before the x update).
-        live = ~done
-        result = jnp.where(live & finished, x, result)
-        x = jnp.where(live & ~finished, x + vx2, x)
+        advance = live & ~finished
+        x = jnp.where(advance, x + vx2, x)
         y = jnp.where(live, y1, y)
-        vx = jnp.where(live, vx2, vx)
-        vy = jnp.where(live & ~finished, vy2 + 1, jnp.where(live, vy2, vy))
-        done_i = jnp.where(done | finished, jnp.int32(1), jnp.int32(0))
-        return x, y, vx, vy, count1, done_i, result
+        vx = jnp.where(advance, vx2, jnp.int32(0))
+        vy = jnp.where(advance, vy2 + 1, vy)
+        return x, y, vx, vy, count1
 
     def body(carry):
-        # Manual 8x unroll: under vmap, XLA materializes while-loop carries in
-        # HBM each trip, so batching 8 masked iterations per trip cuts that
-        # traffic ~8x.  Finished lanes are frozen by the masks, so running a
-        # few extra sub-iterations past a lane's exit is a no-op; live lanes
-        # see exactly the reference iteration sequence.
+        # Manual unroll: under vmap, XLA materializes while-loop carries in
+        # HBM each trip, so batching several masked iterations per trip cuts
+        # that traffic proportionally.  Finished lanes are frozen by the
+        # masks, so running a few extra sub-iterations past a lane's exit is
+        # a no-op; live lanes see exactly the reference iteration sequence.
         for _ in range(_UNROLL):
             carry = one_iteration(carry)
         return carry
 
-    # Fast exit: a lane with vx == 0 can never change x (the wall and net
-    # rules only negate it), so its result is identically its start x — no
-    # need to iterate.  This removes the worst case where a ball trapped
-    # bouncing on the net-pillar top (necessarily vx == 0) would drag every
-    # batch lane through the full 1000-iteration cap; it also short-circuits
-    # the common just-served state.  Power-hit lanes always have |vx| >= 10.
-    pre_done = (vx == 0).astype(jnp.int32)
-    init = (x, y, vx, vy, jnp.int32(0), pre_done, x)
-    *_, result = jax.lax.while_loop(cond, body, init)
-    return result[0], result[1:]
+    # Fast exit baked into the vx == 0 encoding: a lane starting with vx == 0
+    # can never change x, so its result is its start x and it never iterates.
+    # This removes the worst case where a ball trapped bouncing on the
+    # net-pillar top (necessarily vx == 0) would drag every batch lane
+    # through the full 1000-iteration cap; it also short-circuits the common
+    # just-served state.  Power-hit lanes always have |vx| >= 10.
+    init = (x, y, vx, vy, jnp.int32(0))
+    result, *_ = jax.lax.while_loop(cond, body, init)
+    return result
+
+
+def landing_sims_any(ball_x: jnp.ndarray, ball_y: jnp.ndarray,
+                     ball_vx: jnp.ndarray, ball_vy: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shape-generic 7-lane landing simulation.
+
+    Inputs may be scalars or arrays of any shape S; returns
+    ``(expected_landing_point_x with shape S, candidates with shape (6,)+S)``.
+    Uses only iota-built constants and elementwise ops, so the same function
+    runs under jit/vmap AND inside Pallas kernels (which cannot capture array
+    constants).
+
+    The true-ball lane and the six power-hit candidate lanes run in SEPARATE
+    while loops: the candidates launch at |vx| in {10, 20} and land within a
+    few dozen iterations, while the true ball's tail (low |vx| net-band
+    bounce cycles) runs ~150-220 iterations per frame at large batch — split
+    loops keep the six wide lanes from paying for that tail, cutting the
+    dominant while-loop carry traffic ~4x.  Per-lane iteration sequences are
+    unchanged (each lane is independent), so results are bit-identical.
+    """
+    shape = jnp.shape(ball_x)
+    lane_shape = (6,) + tuple(1 for _ in shape)
+    if shape:
+        lane = jax.lax.broadcasted_iota(jnp.int32, lane_shape, 0)
+    else:
+        # 1-D iota is fine outside pallas; scalars never occur inside it.
+        lane = jnp.arange(6, dtype=jnp.int32).reshape(lane_shape)
+    bx = jnp.asarray(ball_x).astype(jnp.int32)
+    by = jnp.asarray(ball_y).astype(jnp.int32)
+
+    # True-ball lane: full net rule, shape S.
+    expected = _sim_loop(bx, by,
+                         jnp.asarray(ball_vx).astype(jnp.int32),
+                         jnp.asarray(ball_vy).astype(jnp.int32),
+                         full_rule=True)
+
+    # Candidate tables from arithmetic: lane k has |x_dir| = (k < 3) and
+    # y_dir = (k % 3) - 1 (canonical order "A").
+    cand_abs_xd = (lane < 3).astype(jnp.int32)
+    cand_yd = (lane % 3) - 1
+    x = jnp.broadcast_to(bx, (6,) + shape)
+    y = jnp.broadcast_to(by, (6,) + shape)
+    # Power-hit candidate initial velocities (physics.py:841-845).
+    speed = (cand_abs_xd + 1) * 10
+    cand_vx = jnp.where(bx < C.GROUND_HALF_WIDTH, speed, -speed)
+    cand_vy = jnp.abs(jnp.asarray(ball_vy).astype(jnp.int32)) * cand_yd * 2
+    candidates = _sim_loop(x, y, cand_vx, cand_vy, full_rule=False)
+
+    return expected, candidates
 
 
 def _landing_sims_impl(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
