@@ -7,8 +7,10 @@ import sys
 
 import pytest
 
-_TOOL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "tools", "multihost_smoke.py")
+_TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "tools")
+_TOOL = os.path.join(_TOOLS, "multihost_smoke.py")
+_SCALE = os.path.join(_TOOLS, "multihost_scale.py")
 
 
 def _free_port() -> int:
@@ -42,3 +44,22 @@ def test_two_process_distributed_train_step():
     losses = {line.split("loss=")[1].split()[0]
               for out in outs for line in out.splitlines() if "loss=" in line}
     assert len(losses) == 1, losses
+
+
+@pytest.mark.slow
+def test_scaling_harness_emits_table():
+    """One command measures 1- and 2-process rungs and prints the table."""
+    import json
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, _SCALE, "--steps", "30", "--batch-per-device", "128",
+         "--port", str(_free_port())],
+        timeout=480, capture_output=True, text=True, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(line) for line in out.stdout.splitlines()
+            if line.startswith("{")]
+    assert [r["procs"] for r in rows] == [1, 2]
+    assert rows[1]["devices"] == 8 and rows[1]["steps_per_s"] > 0
+    assert "efficiency" in out.stdout
