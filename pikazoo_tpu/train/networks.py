@@ -31,9 +31,18 @@ class ActorCritic(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, obs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """obs: (..., 35) raw int32 -> (logits (..., A), value (...,))."""
-        x = normalize_obs(obs).astype(self.compute_dtype)
+    def __call__(self, obs: jnp.ndarray, pre_normalized: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """obs: (..., 35) raw int32 -> (logits (..., A), value (...,)).
+
+        ``pre_normalized=True`` accepts already-normalized (e.g. bfloat16)
+        observations — the PPO update phase stores those in its trajectory
+        buffer to halve HBM traffic and keep rollout/update log-probs
+        computed from bit-identical inputs."""
+        if pre_normalized:
+            x = obs.astype(self.compute_dtype)
+        else:
+            x = normalize_obs(obs).astype(self.compute_dtype)
         for width in self.hidden:
             x = nn.Dense(width, dtype=self.compute_dtype,
                          kernel_init=nn.initializers.orthogonal(np.sqrt(2)),
