@@ -54,14 +54,16 @@ _EXIT_RESERVE_S = 10.0  # always keep this much to emit results and exit
 HEADLINE_METRIC = "env_steps_per_s_aggregate_1chip"
 
 # Orchestrated rungs for the default (config 4) run, small first.  The fused
-# multi-frame kernel rung is the same env semantics (bit-exact vs the scanned
-# step — tests/test_fused_step.py + tools/fused_kernel_audit.py) with actions
-# sampled in-kernel from the shared threefry PRF.
+# multi-frame kernel rung (same env semantics, bit-exact — see
+# tools/fused_kernel_audit.py) is OFF by default: the 2026-08-17 hardware
+# audit measured it at ~10M steps/s vs the scanned path's 673M on this chip
+# (Mosaic's generated code for the wide int32 state loop is far from the
+# VPU's speed of light), so it would only waste driver budget.
 _DEFAULT_RUNGS = [
     dict(config="batch", batch=16_384, steps=200, iters=2),
     dict(config="batch", batch=262_144, steps=1000, iters=3),
 ]
-if os.environ.get("PIKAZOO_BENCH_FUSED", "1") == "1":
+if os.environ.get("PIKAZOO_BENCH_FUSED", "0") == "1":
     _DEFAULT_RUNGS.append(dict(config="fused", batch=262_144, steps=1000,
                                iters=3))
 if os.environ.get("PIKAZOO_BENCH_SMALL") == "1":  # smoke-test sizes
@@ -370,13 +372,14 @@ def _orchestrate_all(args) -> None:
     _await_device_health(90)
     plan = [
         dict(config="batch", batch=262_144, steps=1000, iters=3),
-        dict(config="fused", batch=262_144, steps=1000, iters=3),
-        dict(config="fused_computer", batch=262_144, steps=1000, iters=3),
         dict(config="computer", batch=65_536, steps=500, iters=2),
         dict(config="wrappers", batch=65_536, steps=500, iters=2),
         dict(config="batch1", steps=1000, iters=3),
         dict(config="ppo", batch=65_536, iters=3),
     ]
+    if os.environ.get("PIKAZOO_BENCH_FUSED", "0") == "1":
+        plan.insert(1, dict(config="fused", batch=262_144, steps=1000,
+                            iters=3))
     results = []
     for rung in plan:
         if _remaining() < 60:

@@ -2,10 +2,16 @@
 
 One ``train_step`` = rollout ``T`` frames on ``B`` vmapped envs (both seats
 share the policy; each seat contributes a trajectory, so the learner batch is
-``T x B x 2``), GAE, and several clipped-PPO epochs — all inside a single
+``T x 2B``), GAE, and several clipped-PPO epochs — all inside a single
 ``jit``.  Sharding: env state / trajectories are split along the batch axis
 of the device mesh, parameters and optimizer state are replicated, and the
 gradient all-reduce is inserted by XLA (GSPMD) — no hand-written collectives.
+
+TPU layout note: all learner tensors keep the (huge) folded batch axis as
+the minor-most dimension wherever there is no feature axis — a trailing
+seat/feature axis of 2 would be padded to the 128-wide vector lanes and
+multiply HBM traffic up to 64x (measured: the pre-fold update phase was 12x
+slower).  See ``Transition``.
 
 Minibatches are formed by shuffling and splitting the TIME axis while keeping
 the (sharded) batch axis intact, so the update phase needs no resharding
@@ -52,12 +58,19 @@ class PPOConfig:
 
 
 class Transition(NamedTuple):
-    obs: jnp.ndarray       # (B, 2, 35) normalized bfloat16 (see networks.py)
-    action: jnp.ndarray    # (B, 2)
-    log_prob: jnp.ndarray  # (B, 2)
-    value: jnp.ndarray     # (B, 2)
-    reward: jnp.ndarray    # (B, 2) float32
-    done: jnp.ndarray      # (B,) float32
+    """Per-frame learner record with the SEAT DIMENSION FOLDED INTO BATCH:
+    leaves are (2B,) / (2B, 35), seat-interleaved ([env0/seat0, env0/seat1,
+    env1/seat0, ...]).  TPU layouts map the minor-most dimension to the
+    128-wide vector lanes, so a trailing seat axis of 2 would pad every
+    materialized learner buffer up to 64x — folding it is what lets the
+    update phase run at memory speed."""
+
+    obs: jnp.ndarray       # (2B, 35) normalized bfloat16 (see networks.py)
+    action: jnp.ndarray    # (2B,)
+    log_prob: jnp.ndarray  # (2B,)
+    value: jnp.ndarray     # (2B,)
+    reward: jnp.ndarray    # (2B,) float32
+    done: jnp.ndarray      # (2B,) float32 (episode end, repeated per seat)
 
 
 class PPORunnerState(NamedTuple):
@@ -117,7 +130,7 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
 
     # ------------------------------------------------------------- rollout --
     def policy_sample(params, norm_obs, key):
-        # (B, 2, A), (B, 2) from pre-normalized bf16 observations.
+        # (2B, A), (2B,) from pre-normalized, seat-flattened bf16 obs.
         logits, value = network.apply(params, norm_obs, pre_normalized=True)
         action = jax.random.categorical(key, logits)
         log_prob = _select_log_prob(jax.nn.log_softmax(logits), action)
@@ -132,14 +145,15 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
             # Normalize ONCE and store the bf16 result in the trajectory:
             # halves the dominant HBM buffer and makes the update phase's
             # log-probs recompute from bit-identical network inputs.
-            norm_obs = normalize_obs(obs).astype(jnp.bfloat16)
+            norm_obs = normalize_obs(obs).astype(jnp.bfloat16).reshape(-1, 35)
             action, log_prob, value = policy_sample(params, norm_obs, akey)
-            env_state, ts = env.step_batch(env_state, action)
+            env_state, ts = env.step_batch(env_state, action.reshape(-1, 2))
             env_state = _constrain(env_state, sharded=True)
+            done = (ts.terminated == 1).astype(jnp.float32)
             tr = Transition(obs=norm_obs, action=action, log_prob=log_prob,
                             value=value,
-                            reward=ts.rewards.astype(jnp.float32),
-                            done=(ts.terminated == 1).astype(jnp.float32))
+                            reward=ts.rewards.astype(jnp.float32).reshape(-1),
+                            done=jnp.repeat(done, 2))
             return (env_state, ts.obs, key), tr
 
         return jax.lax.scan(step, (env_state, obs, key), None,
@@ -149,7 +163,7 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
     def compute_gae(traj: Transition, last_value: jnp.ndarray):
         def scan_fn(carry, tr):
             gae, next_value = carry
-            not_done = (1.0 - tr.done)[:, None]
+            not_done = 1.0 - tr.done
             delta = tr.reward + cfg.gamma * next_value * not_done - tr.value
             gae = delta + cfg.gamma * cfg.gae_lambda * not_done * gae
             return (gae, tr.value), gae
@@ -195,16 +209,17 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
             jax.lax.stop_gradient(runner.params), runner.env_state,
             runner.last_obs, runner.key)
 
-        _, last_value = network.apply(runner.params, last_obs)
+        _, last_value = network.apply(runner.params,
+                                      last_obs.reshape(-1, 35))  # (2B,)
         advantages, targets = compute_gae(traj, last_value)
 
         if cfg.learner_seats == "p1":
-            # Keep only seat 1's trajectory for the update phase.
-            seat = lambda x: x[..., :1] if x.ndim >= 3 else x
-            traj = Transition(obs=traj.obs[:, :, :1], action=seat(traj.action),
-                              log_prob=seat(traj.log_prob),
-                              value=seat(traj.value), reward=seat(traj.reward),
-                              done=traj.done)
+            # Keep only seat 1's trajectory for the update phase (seat-
+            # interleaved flat layout: seat 1 is the even positions).
+            def seat(x):
+                return x.reshape(x.shape[0], -1, 2, *x.shape[2:])[:, :, 0]
+
+            traj = Transition(*[seat(leaf) for leaf in traj])
             advantages, targets = seat(advantages), seat(targets)
 
         # Minibatch over the time axis: shuffle T, split into chunks.
@@ -244,7 +259,9 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
             total_loss=total, policy_loss=policy_loss, value_loss=value_loss,
             entropy=entropy, approx_kl=approx_kl,
             mean_reward=traj.reward.mean(),
-            episodes_finished=traj.done.sum(),
+            # done is stored once per (env, seat); episodes are per env.
+            episodes_finished=traj.done.sum() /
+            (2 if cfg.learner_seats == "both" else 1),
             env_steps=jnp.int32(cfg.rollout_length * cfg.num_envs),
         )
         runner = PPORunnerState(params, opt_state, env_state, last_obs, key,
