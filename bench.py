@@ -117,6 +117,10 @@ def measure_env(batch: int, steps: int, iters: int, computer: bool) -> float:
                             is_player1_computer=computer,
                             is_player2_computer=computer))
     state, _ = env.reset_batch(jax.random.key(0), batch)
+    # Unrolling the frame scan keeps `unroll` consecutive frames' state in
+    # registers/VMEM instead of round-tripping the ~50-leaf int32 carry
+    # through HBM every frame (the scanned path's bandwidth bill).
+    unroll = int(os.environ.get("PIKAZOO_SCAN_UNROLL", "1"))
 
     def body(carry, _):
         st, key = carry
@@ -127,7 +131,7 @@ def measure_env(batch: int, steps: int, iters: int, computer: bool) -> float:
 
     @jax.jit
     def rollout(carry):
-        return jax.lax.scan(body, carry, None, length=steps)[0]
+        return jax.lax.scan(body, carry, None, length=steps, unroll=unroll)[0]
 
     dt = _time_calls(rollout, (state, jax.random.key(1)), iters)
     return batch * steps * iters / dt
@@ -228,7 +232,11 @@ def measure_ppo(batch: int, iters: int) -> float:
     from pikazoo_tpu.parallel import env_sharding, make_env_mesh, shard_batch
     from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
 
-    cfg = PPOConfig(num_envs=min(batch, 65_536), rollout_length=128)
+    cfg = PPOConfig(
+        num_envs=min(batch, 65_536),
+        rollout_length=int(os.environ.get("PIKAZOO_PPO_T", "128")),
+        num_minibatches=int(os.environ.get("PIKAZOO_PPO_MBS", "4")),
+        update_epochs=int(os.environ.get("PIKAZOO_PPO_EPOCHS", "4")))
     mesh = make_env_mesh()
     env = PikaZoo(EnvConfig(auto_reset=True))
     init_fn, train_step, _ = make_ppo_trainer(env, cfg, mesh=mesh)

@@ -48,12 +48,16 @@ class ActorCritic(nn.Module):
                          kernel_init=nn.initializers.orthogonal(np.sqrt(2)),
                          bias_init=nn.initializers.zeros)(x)
             x = nn.tanh(x)
-        logits = nn.Dense(self.num_actions, dtype=jnp.float32,
+        # Heads compute in bf16 too: upcasting the (..., 256) hidden state to
+        # f32 first materializes two full-width f32 copies of the activations
+        # (gigabytes per PPO minibatch at learner scale); the (..., 18)/(...,1)
+        # head OUTPUTS are what need f32 (softmax/GAE numerics), and casting
+        # those is ~14x cheaper.  Params stay f32 (flax param_dtype default).
+        logits = nn.Dense(self.num_actions, dtype=self.compute_dtype,
                           kernel_init=nn.initializers.orthogonal(0.01),
-                          bias_init=nn.initializers.zeros)(
-                              x.astype(jnp.float32))
-        value = nn.Dense(1, dtype=jnp.float32,
+                          bias_init=nn.initializers.zeros)(x)
+        value = nn.Dense(1, dtype=self.compute_dtype,
                          kernel_init=nn.initializers.orthogonal(1.0),
-                         bias_init=nn.initializers.zeros)(
-                             x.astype(jnp.float32))
-        return logits, jnp.squeeze(value, -1)
+                         bias_init=nn.initializers.zeros)(x)
+        return logits.astype(jnp.float32), \
+            jnp.squeeze(value, -1).astype(jnp.float32)
