@@ -120,7 +120,7 @@ def measure_env(batch: int, steps: int, iters: int, computer: bool) -> float:
     # Unrolling the frame scan keeps `unroll` consecutive frames' state in
     # registers/VMEM instead of round-tripping the ~50-leaf int32 carry
     # through HBM every frame (the scanned path's bandwidth bill).
-    unroll = int(os.environ.get("PIKAZOO_SCAN_UNROLL", "1"))
+    unroll = int(os.environ.get("PIKAZOO_SCAN_UNROLL", "4"))
 
     def body(carry, _):
         st, key = carry
@@ -236,14 +236,21 @@ def measure_ppo(batch: int, iters: int) -> float:
         num_envs=min(batch, 65_536),
         rollout_length=int(os.environ.get("PIKAZOO_PPO_T", "128")),
         num_minibatches=int(os.environ.get("PIKAZOO_PPO_MBS", "4")),
-        update_epochs=int(os.environ.get("PIKAZOO_PPO_EPOCHS", "4")))
-    mesh = make_env_mesh()
+        update_epochs=int(os.environ.get("PIKAZOO_PPO_EPOCHS", "4")),
+        activation=os.environ.get("PIKAZOO_PPO_ACT", "tanh"))
+    # On a single device the mesh only adds GSPMD partitioning overhead
+    # (no sharding to express); use it when there is something to shard,
+    # or when forced for testing via PIKAZOO_PPO_MESH=1.
+    use_mesh = (len(jax.devices()) > 1
+                or os.environ.get("PIKAZOO_PPO_MESH") == "1")
+    mesh = make_env_mesh() if use_mesh else None
     env = PikaZoo(EnvConfig(auto_reset=True))
     init_fn, train_step, _ = make_ppo_trainer(env, cfg, mesh=mesh)
     runner = init_fn(jax.random.key(0))
-    runner = runner._replace(
-        env_state=shard_batch(runner.env_state, mesh),
-        last_obs=jax.device_put(runner.last_obs, env_sharding(mesh)))
+    if mesh is not None:
+        runner = runner._replace(
+            env_state=shard_batch(runner.env_state, mesh),
+            last_obs=jax.device_put(runner.last_obs, env_sharding(mesh)))
     step = jax.jit(train_step, donate_argnums=0)
 
     runner, metrics = step(runner)  # compile

@@ -29,6 +29,7 @@ class ActorCritic(nn.Module):
     num_actions: int = 18
     hidden: Sequence[int] = (256, 256)
     compute_dtype: jnp.dtype = jnp.bfloat16
+    activation: str = "tanh"  # "tanh" (PPO convention) or "relu"
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, pre_normalized: bool = False
@@ -47,7 +48,7 @@ class ActorCritic(nn.Module):
             x = nn.Dense(width, dtype=self.compute_dtype,
                          kernel_init=nn.initializers.orthogonal(np.sqrt(2)),
                          bias_init=nn.initializers.zeros)(x)
-            x = nn.tanh(x)
+            x = nn.relu(x) if self.activation == "relu" else nn.tanh(x)
         # Heads compute in bf16 too: upcasting the (..., 256) hidden state to
         # f32 first materializes two full-width f32 copies of the activations
         # (gigabytes per PPO minibatch at learner scale); the (..., 18)/(...,1)

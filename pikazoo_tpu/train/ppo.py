@@ -51,6 +51,8 @@ class PPOConfig:
     update_epochs: int = 4
     num_minibatches: int = 4  # splits the time axis
     hidden: Tuple[int, ...] = (256, 256)
+    activation: str = "tanh"  # "relu" trades the PPO-conventional tanh for
+    # a cheaper VPU op (see networks.ActorCritic)
     # "both": symmetric self-play, both seats feed the learner.
     # "p1": only seat 1's trajectory trains (e.g. vs the rule AI on seat 2 —
     # pass an env with is_player2_computer=True; the AI ignores seat-2 input).
@@ -101,7 +103,8 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
     ``train_step_fn(runner) -> (runner, TrainMetrics)`` (jit-able; pass
     ``mesh`` to get sharding constraints for multi-device execution).
     """
-    network = ActorCritic(num_actions=cfg.num_actions, hidden=cfg.hidden)
+    network = ActorCritic(num_actions=cfg.num_actions, hidden=cfg.hidden,
+                          activation=cfg.activation)
     if cfg.anneal_updates:
         steps_per_update = cfg.update_epochs * cfg.num_minibatches
         lr = optax.linear_schedule(
@@ -148,7 +151,6 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
             norm_obs = normalize_obs(obs).astype(jnp.bfloat16).reshape(-1, 35)
             action, log_prob, value = policy_sample(params, norm_obs, akey)
             env_state, ts = env.step_batch(env_state, action.reshape(-1, 2))
-            env_state = _constrain(env_state, sharded=True)
             done = (ts.terminated == 1).astype(jnp.float32)
             tr = Transition(obs=norm_obs, action=action, log_prob=log_prob,
                             value=value,
@@ -156,6 +158,12 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
                             done=jnp.repeat(done, 2))
             return (env_state, ts.obs, key), tr
 
+        # Pin the env-axis sharding ONCE at scan entry.  A per-frame
+        # with_sharding_constraint inside the scan body is catastrophic
+        # (measured 36 ms/frame — 17x the whole body — even on a 1-device
+        # mesh: it forces a materialization barrier every frame); GSPMD
+        # propagates this entry sharding through the loop by itself.
+        env_state = _constrain(env_state, sharded=True)
         return jax.lax.scan(step, (env_state, obs, key), None,
                             length=cfg.rollout_length)
 

@@ -17,6 +17,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("PPO_DECOMP_CPU") == "1":  # smoke-test hook
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import optax
 
@@ -162,18 +166,23 @@ mtraj, madv, mtarget = mb
 
 
 @jax.jit
-def one_grad_step(params, opt_state):
+def one_grad_step(params, opt_state, mtraj, madv, mtarget):
+    # Big arrays are ARGUMENTS: closed-over device constants get embedded in
+    # the serialized program and blow the axon remote-compile size limit
+    # (HTTP 413).
     loss, grads = jax.value_and_grad(loss_fn)(params, mtraj, madv, mtarget)
     updates, opt_state = tx.update(grads, opt_state, params)
     return optax.apply_updates(params, updates), opt_state, loss
 
 
 params, opt_state = runner.params, runner.opt_state
-params, opt_state, loss = one_grad_step(params, opt_state)
+params, opt_state, loss = one_grad_step(params, opt_state, mtraj, madv,
+                                        mtarget)
 jax.block_until_ready(loss)
 t0 = time.perf_counter()
 for _ in range(16):
-    params, opt_state, loss = one_grad_step(params, opt_state)
+    params, opt_state, loss = one_grad_step(params, opt_state, mtraj, madv,
+                                            mtarget)
 jax.block_until_ready(loss)
 dt = time.perf_counter() - t0
 print(f"[3] 16 scan-free grad steps:   {dt*1e3:9.1f} ms "
@@ -183,3 +192,63 @@ print(f"[3] 16 scan-free grad steps:   {dt*1e3:9.1f} ms "
 timed_update("[4] GAE+update (identity perm):",
              jax.jit(lambda p, o, tr, lo, k: gae_update(p, o, tr, lo, k,
                                                         False)))
+
+
+# [5] fwd-only loss on the same minibatch (splits fwd from bwd cost).
+@jax.jit
+def loss_only(params, bias, mtraj, madv, mtarget):
+    return loss_fn(jax.tree.map(lambda p: p + bias, params),
+                   mtraj, madv, mtarget)
+
+
+loss = loss_only(runner.params, jnp.float32(0), mtraj, madv, mtarget)
+jax.block_until_ready(loss)
+t0 = time.perf_counter()
+for i in range(16):
+    loss = loss_only(runner.params, loss * 1e-9, mtraj, madv, mtarget)
+jax.block_until_ready(loss)
+print(f"[5] 16 chained fwd-only losses: {(time.perf_counter()-t0)*1e3:9.1f} ms",
+      flush=True)
+
+# [6] same grad step with a relu MLP (isolates tanh transcendental cost;
+# param shapes are identical so the tanh params are reused).
+from pikazoo_tpu.train.networks import ActorCritic
+
+relu_net = ActorCritic(num_actions=cfg.num_actions, hidden=cfg.hidden,
+                       activation="relu")
+
+
+def loss_fn_relu(params, batch, adv, tgt):
+    logits, value = relu_net.apply(params, batch.obs, pre_normalized=True)
+    log_probs = jax.nn.log_softmax(logits)
+    one_hot = jax.nn.one_hot(batch.action, cfg.num_actions,
+                             dtype=log_probs.dtype)
+    log_prob = (log_probs * one_hot).sum(-1)
+    ratio = jnp.exp(log_prob - batch.log_prob)
+    a = (adv - adv.mean()) / (adv.std() + 1e-8)
+    policy_loss = -jnp.minimum(ratio * a, jnp.clip(ratio, 0.8, 1.2) * a).mean()
+    vc = batch.value + jnp.clip(value - batch.value, -0.2, 0.2)
+    value_loss = 0.5 * jnp.maximum((value - tgt) ** 2, (vc - tgt) ** 2).mean()
+    entropy = -(jnp.exp(log_probs) * log_probs).sum(-1).mean()
+    return policy_loss + 0.5 * value_loss - 0.01 * entropy
+
+
+@jax.jit
+def one_grad_step_relu(params, opt_state, mtraj, madv, mtarget):
+    loss, grads = jax.value_and_grad(loss_fn_relu)(params, mtraj, madv,
+                                                   mtarget)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+
+params, opt_state = runner.params, runner.opt_state
+params, opt_state, loss = one_grad_step_relu(params, opt_state, mtraj, madv,
+                                             mtarget)
+jax.block_until_ready(loss)
+t0 = time.perf_counter()
+for _ in range(16):
+    params, opt_state, loss = one_grad_step_relu(params, opt_state, mtraj,
+                                                 madv, mtarget)
+jax.block_until_ready(loss)
+print(f"[6] 16 scan-free RELU grad steps: {(time.perf_counter()-t0)*1e3:9.1f}"
+      " ms", flush=True)
