@@ -71,3 +71,56 @@ def assemble_obs(p1: PlayerState, p2: PlayerState, b: BallState,
         jnp.concatenate([o1, o2, ob]),
         jnp.concatenate([o2, o1, ob]),
     ])
+
+# ---------------------------------------------------------------------------
+# Learner fast path: normalized bf16 observation rows assembled DIRECTLY from
+# batched state leaves.  The standard path materializes a per-frame
+# (B, 2, 35) int32 tensor whose TPU tiling pads the trailing (2, 35) dims to
+# (8, 128) — a ~15x physical blowup that the PPO rollout pays twice per frame
+# (assembly write + normalize read).  Stacking per-field (B,) leaves straight
+# into normalized (B, 35) rows keeps the batch dim on the sublanes and the
+# 35-dim on the lanes once, with the normalization arithmetic fused into the
+# stack.  Row layout is SEAT-BLOCKED: rows [0, B) are player 1's view,
+# [B, 2B) player 2's.
+
+_LOW_F = OBS_LOW.astype(np.float32)
+_SPAN_F = (OBS_HIGH - OBS_LOW).astype(np.float32)
+
+
+def _player_cols(p: PlayerState, latch: jnp.ndarray) -> list:
+    """13 per-field (B,) columns in observation order (incl. 5-wide one-hot)."""
+    return ([p.x, p.y, p.y_velocity, p.diving_direction,
+             p.lying_down_duration_left, p.frame_number,
+             p.delay_before_next_frame]
+            + [(p.state == k).astype(jnp.int32) for k in range(5)]
+            + [latch])
+
+
+def _ball_cols(b: BallState) -> list:
+    return [b.x, b.y, b.previous_x, b.previous_y,
+            b.previous_previous_x, b.previous_previous_y,
+            b.x_velocity, b.y_velocity, b.is_power_hit]
+
+
+def assemble_norm_obs_blocked(p1: PlayerState, p2: PlayerState, b: BallState,
+                              latch: jnp.ndarray) -> jnp.ndarray:
+    """(2B, 35) bfloat16 normalized mirrored observations, seat-blocked.
+
+    ``p1``/``p2``/``b`` are BATCHED state pytrees ((B,) leaves); ``latch`` is
+    the (B, 2) power-hit latch.  Equals
+    ``normalize(vmap(assemble_obs)(...))`` re-ordered seat-blocked (tested in
+    ``tests/test_fused_update.py``).
+    """
+    def seat(me, opp, latch_me, latch_opp):
+        cols = _player_cols(me, latch_me) + _player_cols(opp, latch_opp) \
+            + _ball_cols(b)
+        # Same expression as networks.normalize_obs (division, not
+        # reciprocal-multiply) so the result is bit-identical per column.
+        normed = [((c.astype(jnp.float32) - _LOW_F[i]) / _SPAN_F[i])
+                  for i, c in enumerate(cols)]
+        return jnp.stack(normed, axis=-1).astype(jnp.bfloat16)
+
+    return jnp.concatenate([
+        seat(p1, p2, latch[:, 0], latch[:, 1]),
+        seat(p2, p1, latch[:, 1], latch[:, 0]),
+    ], axis=0)

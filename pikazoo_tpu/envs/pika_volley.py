@@ -43,7 +43,8 @@ from pikazoo_tpu.core.state import (BallState, PlayerState, SoundEvents,
                                     init_ball_construction,
                                     init_player_construction,
                                     round_init_ball, round_init_player)
-from pikazoo_tpu.envs.observations import assemble_obs
+from pikazoo_tpu.envs.observations import (assemble_norm_obs_blocked,
+                                           assemble_obs)
 
 SERVE_MODES = ("winner", "alternate", "random")
 
@@ -263,16 +264,17 @@ class PikaZoo:
         return state, ts
 
     # -------------------------------------------------------------- step --
-    def step(self, state: EnvState, actions: jnp.ndarray,
-             oracle: Optional[jax.Array] = None
-             ) -> Tuple[EnvState, TimeStep]:
-        """Advance one frame.  ``actions`` is ``(2,)`` int32 in [0, 18)."""
+    def _advance(self, state: EnvState, a1: jnp.ndarray, a2: jnp.ndarray,
+                 oracle: Optional[jax.Array] = None
+                 ) -> Tuple[EnvState, FrameResult]:
+        """One frame of state evolution, per-seat scalar actions, no
+        observation assembly (shared by ``step`` and the learner path)."""
         ds = DrawState(key=state.rng_key, counter=state.draw_counter,
                        oracle=oracle)
 
         # Decode actions with edge detection (the latch feeds obs 12/25).
-        inp1, latch1 = decode_action(actions[0], state.power_hit_key_down_prev[0])
-        inp2, latch2 = decode_action(actions[1], state.power_hit_key_down_prev[1])
+        inp1, latch1 = decode_action(a1, state.power_hit_key_down_prev[0])
+        inp2, latch2 = decode_action(a2, state.power_hit_key_down_prev[1])
         latch = jnp.stack([latch1, latch2])
 
         fr = env_frame(self.config, ds, state.p1, state.p2, state.ball,
@@ -292,12 +294,20 @@ class PikaZoo:
             rng_key=state.rng_key,
             draw_counter=fr.draw_counter,
         )
+        return new_state, fr
+
+    def step(self, state: EnvState, actions: jnp.ndarray,
+             oracle: Optional[jax.Array] = None
+             ) -> Tuple[EnvState, TimeStep]:
+        """Advance one frame.  ``actions`` is ``(2,)`` int32 in [0, 18)."""
+        new_state, fr = self._advance(state, actions[0], actions[1], oracle)
         ts = TimeStep(
-            obs=assemble_obs(fr.p1, fr.p2, fr.ball, latch),
+            obs=assemble_obs(fr.p1, fr.p2, fr.ball,
+                             new_state.power_hit_key_down_prev),
             rewards=jnp.stack([fr.reward_p1, -fr.reward_p1]),
             terminated=fr.game_ended,
             round_ended=fr.round_ended,
-            scores=scores,
+            scores=new_state.scores,
             touched_ground=fr.touched,
             sounds=fr.sounds,
         )
@@ -316,3 +326,24 @@ class PikaZoo:
                    ) -> Tuple[EnvState, TimeStep]:
         """Step a batch: ``actions`` is ``(B, 2)`` int32."""
         return jax.vmap(self.step)(state, actions)
+
+    def step_batch_learner(self, state: EnvState, a1: jnp.ndarray,
+                           a2: jnp.ndarray
+                           ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray,
+                                      jnp.ndarray]:
+        """Learner fast path: per-seat ``(B,)`` actions in, normalized
+        observations out, no (B, 2, 35) int32 materialization.
+
+        Returns ``(state, norm_obs, reward_p1, terminated)`` where
+        ``norm_obs`` is (2B, 35) bfloat16 seat-BLOCKED (rows [0, B) are
+        player 1's view — see ``assemble_norm_obs_blocked``), ``reward_p1``
+        is (B,) int32 (player 2's reward is its negation) and ``terminated``
+        is (B,) int32.  Used by the PPO rollout: the standard ``step_batch``
+        obs tensor's trailing (2, 35) dims tile-pad to (8, 128) on TPU, a
+        ~15x physical blowup paid twice per frame.
+        """
+        new_state, fr = jax.vmap(self._advance)(state, a1, a2)
+        norm_obs = assemble_norm_obs_blocked(
+            new_state.p1, new_state.p2, new_state.ball,
+            new_state.power_hit_key_down_prev)
+        return new_state, norm_obs, fr.reward_p1, fr.game_ended

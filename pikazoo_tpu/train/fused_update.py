@@ -1,0 +1,296 @@
+"""Fused PPO minibatch gradient as a single Pallas TPU kernel.
+
+Why: the XLA update phase is HBM-bound — every Dense layer's activations
+(`(M, 256)` at learner scale, M ~ 4.2M rows/minibatch) make an HBM round
+trip in the forward pass and two more in the backward pass, ~26 GB of
+traffic per minibatch gradient step (measured 52 ms; 16 such steps dominate
+the 0.94 s update phase of the PPO train step — `tools/ppo_decompose.py`).
+
+This kernel computes the complete clipped-PPO gradient (forward MLP, loss,
+manual backward, weight-gradient accumulation, loss partial sums) for a tile
+of R rows entirely in VMEM, so the only HBM traffic is one read of the
+(bf16) observation tile and the per-row scalars: ~0.3 GB/minibatch instead
+of ~26 GB.  The MXU does the same matmul FLOPs either way; the kernel removes
+the memory wall, not the math.
+
+Parity note: the XLA path (`flax` ``Dense(dtype=bfloat16)``) keeps
+activations in bfloat16 end-to-end; this kernel accumulates every matmul in
+float32 (``preferred_element_type``) and applies tanh in float32, i.e. it is
+slightly MORE precise than the XLA path.  The two paths agree to bf16
+tolerance (see ``tests/test_fused_update.py``) but are not bitwise equal;
+``PPOConfig.fused_update`` is therefore an explicit opt-in ("auto" enables
+it on TPU only).
+
+Loss definition mirrors ``ppo.make_ppo_trainer.loss_fn`` exactly
+(reference semantics: clipped surrogate + clipped value loss + entropy
+bonus; the reference repo has no learner at all — SURVEY.md §2.2 N7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Rows per grid step.  VMEM budget at R=1024, hidden=(256, 256): ~8 MB of
+# activations/temporaries + ~0.6 MB of weight/grad accumulators.
+# PIKAZOO_FUSED_ROWS overrides for tile-size sweeps.
+import os as _os
+
+_DEFAULT_ROWS = int(_os.environ.get("PIKAZOO_FUSED_ROWS", 1024))
+
+
+def _act(x: jnp.ndarray, activation: str) -> jnp.ndarray:
+    return jnp.maximum(x, 0.0) if activation == "relu" else jnp.tanh(x)
+
+
+def _dact(h: jnp.ndarray, activation: str) -> jnp.ndarray:
+    # Derivative expressed through the POST-activation value h.
+    if activation == "relu":
+        return (h > 0.0).astype(h.dtype)
+    return 1.0 - h * h
+
+
+def _kernel(num_hidden: int, num_actions: int, activation: str,
+            clip_eps: float, value_coef: float, entropy_coef: float,
+            inv_m: float, *refs):
+    """Grid step: one R-row tile -> accumulate grads + loss partials.
+
+    refs layout (flat, in order):
+      inputs:  obs, action, logp_old, value_old, adv, target,
+               w_0..w_{L-1}, b_0..b_{L-1}  (hidden layers, bf16/f32),
+               wp, bp, wv, bv
+      outputs: dw_0..dw_{L-1}, db_0..db_{L-1}, dwp, dbp, dwv, dbv, losses
+    """
+    L = num_hidden
+    (obs_ref, act_ref, lpold_ref, vold_ref, adv_ref, tgt_ref) = refs[:6]
+    w_refs = refs[6:6 + L]
+    b_refs = refs[6 + L:6 + 2 * L]
+    wp_ref, bp_ref, wv_ref, bv_ref = refs[6 + 2 * L:10 + 2 * L]
+    out = refs[10 + 2 * L:]
+    dw_refs = out[:L]
+    db_refs = out[L:2 * L]
+    dwp_ref, dbp_ref, dwv_ref, dbv_ref, loss_ref = out[2 * L:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_accumulators():
+        for r in (*dw_refs, *db_refs, dwp_ref, dbp_ref, dwv_ref, dbv_ref,
+                  loss_ref):
+            r[...] = jnp.zeros_like(r)
+
+    f32 = jnp.float32
+
+    # Per-row quantities are (R, 1) COLUMN VECTORS throughout: Mosaic
+    # requires block shapes with the last two dims divisible by (8, 128) or
+    # equal to the array dims, so 1-D (M,) inputs are shipped as (G, R, 1).
+    # ---- forward ----------------------------------------------------------
+    x = obs_ref[0]  # (R, F) bf16
+    hs_b = []       # post-activation, bf16 (matmul operands)
+    hs = []         # post-activation, f32 (for activation derivative)
+    h_b = x
+    for l in range(L):
+        pre = jnp.dot(h_b, w_refs[l][...],
+                      preferred_element_type=f32) + b_refs[l][0]
+        h = _act(pre, activation)
+        h_b = h.astype(jnp.bfloat16)
+        hs.append(h)
+        hs_b.append(h_b)
+
+    logits = jnp.dot(h_b, wp_ref[...],
+                     preferred_element_type=f32) + bp_ref[0]      # (R, A)
+    value = jnp.dot(h_b, wv_ref[...],
+                    preferred_element_type=f32) + bv_ref[0]       # (R, 1)
+
+    # ---- loss (sums over the tile; mean scaling via inv_m) ---------------
+    m = jnp.max(logits, axis=1, keepdims=True)
+    ex = jnp.exp(logits - m)
+    sumex = jnp.sum(ex, axis=1, keepdims=True)
+    logp_all = logits - (jnp.log(sumex) + m)                       # (R, A)
+    p = ex / sumex
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+              == act_ref[0]).astype(f32)                           # (R, A)
+    lp_new = jnp.sum(logp_all * onehot, axis=1, keepdims=True)     # (R, 1)
+
+    ratio = jnp.exp(lp_new - lpold_ref[0])                         # (R, 1)
+    adv = adv_ref[0]                                               # (R, 1)
+    unclipped = ratio * adv
+    clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps) * adv
+    policy_sum = -jnp.sum(jnp.minimum(unclipped, clipped))
+
+    entropy_row = -jnp.sum(p * logp_all, axis=1, keepdims=True)    # (R, 1)
+    entropy_sum = jnp.sum(entropy_row)
+
+    vold = vold_ref[0]                                             # (R, 1)
+    tgt = tgt_ref[0]                                               # (R, 1)
+    vclip = vold + jnp.clip(value - vold, -clip_eps, clip_eps)
+    e1 = value - tgt
+    e2 = vclip - tgt
+    value_sum = 0.5 * jnp.sum(jnp.maximum(e1 * e1, e2 * e2))
+    kl_sum = jnp.sum((ratio - 1.0) - jnp.log(ratio))
+
+    # ---- backward ---------------------------------------------------------
+    # d policy / d lp_new: through min(unclipped, clipped); the clipped
+    # branch only passes gradient while ratio is strictly inside the bound.
+    inside_r = ((ratio > 1.0 - clip_eps)
+                & (ratio < 1.0 + clip_eps)).astype(f32)
+    dmin_dratio = jnp.where(unclipped <= clipped, adv, adv * inside_r)
+    dlp = -inv_m * dmin_dratio * ratio                             # (R, 1)
+    # d total / d logits: policy term + entropy bonus
+    # (dH/dz_j = -p_j (logp_j + H); total has -entropy_coef * H_mean).
+    dlogits = (dlp * (onehot - p)
+               + (entropy_coef * inv_m) * p
+               * (logp_all + entropy_row))                         # (R, A)
+    # d total / d value: through max of clipped/unclipped squared error.
+    inside_v = ((value - vold > -clip_eps)
+                & (value - vold < clip_eps)).astype(f32)
+    dvalue = (value_coef * inv_m) * jnp.where(e1 * e1 >= e2 * e2,
+                                              e1, e2 * inside_v)   # (R, 1)
+
+    dlogits_b = dlogits.astype(jnp.bfloat16)
+    dvalue_b = dvalue.astype(jnp.bfloat16)                         # (R, 1)
+    rows_contract = (((0,), (0,)), ((), ()))   # contract over the R rows
+    cols_contract = (((1,), (1,)), ((), ()))   # x @ W^T
+
+    dwp_ref[...] += jax.lax.dot_general(hs_b[-1], dlogits_b, rows_contract,
+                                        preferred_element_type=f32)
+    dbp_ref[...] += jnp.sum(dlogits, axis=0, keepdims=True)
+    dwv_ref[...] += jax.lax.dot_general(hs_b[-1], dvalue_b, rows_contract,
+                                        preferred_element_type=f32)
+    dbv_ref[...] += jnp.sum(dvalue)[None, None]
+
+    dh = (jax.lax.dot_general(dlogits_b, wp_ref[...], cols_contract,
+                              preferred_element_type=f32)
+          + jax.lax.dot_general(dvalue_b, wv_ref[...], cols_contract,
+                                preferred_element_type=f32))       # (R, H)
+    for l in range(L - 1, -1, -1):
+        dpre = dh * _dact(hs[l], activation)
+        dpre_b = dpre.astype(jnp.bfloat16)
+        below = hs_b[l - 1] if l > 0 else x
+        dw_refs[l][...] += jax.lax.dot_general(
+            below, dpre_b, rows_contract, preferred_element_type=f32)
+        db_refs[l][...] += jnp.sum(dpre, axis=0, keepdims=True)
+        if l > 0:
+            dh = jax.lax.dot_general(dpre_b, w_refs[l][...], cols_contract,
+                                     preferred_element_type=f32)
+
+    # .at[].set on traced values lowers to scatter (unsupported by Mosaic);
+    # build the loss row with iota masks instead.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    loss_ref[...] += (jnp.where(col == 0, policy_sum, 0.0)
+                      + jnp.where(col == 1, value_sum, 0.0)
+                      + jnp.where(col == 2, entropy_sum, 0.0)
+                      + jnp.where(col == 3, kl_sum, 0.0))
+
+
+def _pick_rows(m: int) -> int:
+    for r in (_DEFAULT_ROWS, 512, 256, 128, 64, 32, 16, 8):
+        if m % r == 0:
+            return r
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_actions", "activation", "clip_eps", "value_coef", "entropy_coef",
+    "interpret", "total_rows"))
+def fused_ppo_grads(params: Dict[str, Any], obs: jnp.ndarray,
+                    action: jnp.ndarray, logp_old: jnp.ndarray,
+                    value_old: jnp.ndarray, adv_norm: jnp.ndarray,
+                    target: jnp.ndarray, *, num_actions: int,
+                    activation: str, clip_eps: float, value_coef: float,
+                    entropy_coef: float, interpret: bool = False,
+                    total_rows: int = 0
+                    ) -> Tuple[Dict[str, Any], jnp.ndarray]:
+    """Fused PPO minibatch gradient.
+
+    Args: ``params`` — flax ActorCritic variables (``{'params': {'Dense_0':
+    ...}}``, L hidden layers then policy/value heads); ``obs`` — (M, F)
+    bf16 pre-normalized; 1-D per-row arrays of shape (M,); ``adv_norm``
+    must already be minibatch-normalized (the caller owns mean/std, matching
+    ``loss_fn``).  ``total_rows``: global minibatch size when called on a
+    SHARD inside ``shard_map`` (0 = single-device, use ``obs.shape[0]``);
+    with it set, grads/losses come out scaled for a plain ``psum`` across
+    the mesh.
+
+    Returns ``(grads, losses)`` with ``grads`` matching the params pytree
+    and ``losses = [total, policy, value, entropy, approx_kl]`` (means).
+    """
+    dense = params["params"]
+    names = sorted(dense.keys(), key=lambda s: int(s.rsplit("_", 1)[1]))
+    L = len(names) - 2
+    w = [dense[n]["kernel"] for n in names]
+    b = [dense[n]["bias"] for n in names]
+    m_rows = obs.shape[0]
+    r = _pick_rows(m_rows)
+    g = m_rows // r
+    f = obs.shape[1]
+    inv_m = 1.0 / (total_rows or m_rows)
+
+    obs_t = obs.astype(jnp.bfloat16).reshape(g, r, f)
+    act_t = action.astype(jnp.int32).reshape(g, r, 1)
+    row = lambda a: a.astype(jnp.float32).reshape(g, r, 1)
+    w_b = [x.astype(jnp.bfloat16) for x in w]
+    b_f = [x.astype(jnp.float32).reshape(1, -1) for x in b]
+
+    def tile3(_: int):
+        return pl.BlockSpec((1, r, f), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile2():
+        return pl.BlockSpec((1, r, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def whole(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda i: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([tile3(0), tile2(), tile2(), tile2(), tile2(), tile2()]
+                + [whole(x.shape) for x in w_b[:L]]
+                + [whole(x.shape) for x in b_f[:L]]
+                + [whole(w_b[L].shape), whole(b_f[L].shape),
+                   whole(w_b[L + 1].shape), whole(b_f[L + 1].shape)])
+    out_shapes = ([jax.ShapeDtypeStruct(x.shape, jnp.float32)
+                   for x in w[:L]]
+                  + [jax.ShapeDtypeStruct((1, x.shape[0]), jnp.float32)
+                     for x in b[:L]]
+                  + [jax.ShapeDtypeStruct(w[L].shape, jnp.float32),
+                     jax.ShapeDtypeStruct((1, b[L].shape[0]), jnp.float32),
+                     jax.ShapeDtypeStruct(w[L + 1].shape, jnp.float32),
+                     jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                     jax.ShapeDtypeStruct((1, 8), jnp.float32)])
+    out_specs = [whole(s.shape) for s in out_shapes]
+
+    kernel = functools.partial(_kernel, L, num_actions, activation,
+                               clip_eps, value_coef, entropy_coef, inv_m)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(obs_t, act_t, row(logp_old), row(value_old), row(adv_norm),
+      row(target), *w_b[:L], *b_f[:L], w_b[L], b_f[L], w_b[L + 1],
+      b_f[L + 1])
+
+    dw = list(outs[:L])
+    db = [x.reshape(-1) for x in outs[L:2 * L]]
+    dwp, dbp, dwv, dbv, sums = outs[2 * L:]
+    grads_dense = {}
+    for i, n in enumerate(names[:L]):
+        grads_dense[n] = {"kernel": dw[i], "bias": db[i]}
+    grads_dense[names[L]] = {"kernel": dwp, "bias": dbp.reshape(-1)}
+    grads_dense[names[L + 1]] = {"kernel": dwv, "bias": dbv.reshape(-1)}
+    grads = {"params": grads_dense}
+
+    policy_loss = sums[0, 0] * inv_m
+    value_loss = sums[0, 1] * inv_m
+    entropy = sums[0, 2] * inv_m
+    approx_kl = sums[0, 3] * inv_m
+    total = policy_loss + value_coef * value_loss - entropy_coef * entropy
+    losses = jnp.stack([total, policy_loss, value_loss, entropy, approx_kl])
+    return grads, losses

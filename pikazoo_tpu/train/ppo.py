@@ -57,15 +57,22 @@ class PPOConfig:
     # "p1": only seat 1's trajectory trains (e.g. vs the rule AI on seat 2 —
     # pass an env with is_player2_computer=True; the AI ignores seat-2 input).
     learner_seats: str = "both"
+    # Minibatch gradients via the fused Pallas kernel (train/fused_update.py):
+    # one HBM pass instead of per-layer activation round trips (~4x faster
+    # update phase at learner scale).  "auto" = on when running on TPU;
+    # "off" = XLA autodiff; "on" = always (interpret-mode off-TPU, slow —
+    # test use only).  The fused path accumulates matmuls in f32, so it is
+    # not bitwise-identical to the bf16 XLA path (see module docstring).
+    fused_update: str = "auto"
 
 
 class Transition(NamedTuple):
     """Per-frame learner record with the SEAT DIMENSION FOLDED INTO BATCH:
-    leaves are (2B,) / (2B, 35), seat-interleaved ([env0/seat0, env0/seat1,
-    env1/seat0, ...]).  TPU layouts map the minor-most dimension to the
-    128-wide vector lanes, so a trailing seat axis of 2 would pad every
-    materialized learner buffer up to 64x — folding it is what lets the
-    update phase run at memory speed."""
+    leaves are (2B,) / (2B, 35), seat-BLOCKED (rows [0, B) are seat 1,
+    [B, 2B) seat 2 — the layout ``env.step_batch_learner`` emits).  TPU
+    layouts map the minor-most dimension to the 128-wide vector lanes, so a
+    trailing seat axis of 2 would pad every materialized learner buffer up
+    to 64x — folding it is what lets the update phase run at memory speed."""
 
     obs: jnp.ndarray       # (2B, 35) normalized bfloat16 (see networks.py)
     action: jnp.ndarray    # (2B,)
@@ -142,21 +149,31 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
     def rollout(params, env_state, obs, key):
         from pikazoo_tpu.train.networks import normalize_obs
 
+        # Learner fast path (env.step_batch_learner): the env hands back
+        # normalized bf16 seat-BLOCKED (2B, 35) rows directly (stored as-is
+        # in the trajectory, so update-phase log-probs recompute from
+        # bit-identical network inputs).  The standard step's (B, 2, 35)
+        # int32 obs tensor tile-pads ~15x on TPU and the rollout would pay
+        # that twice per frame (assembly write + normalize read).
+        num_envs = obs.shape[0]
+        norm0 = jnp.concatenate(
+            [normalize_obs(obs[:, 0]), normalize_obs(obs[:, 1])],
+            axis=0).astype(jnp.bfloat16)
+
         def step(carry, _):
-            env_state, obs, key = carry
+            env_state, norm_obs, key = carry
             key, akey = jax.random.split(key)
-            # Normalize ONCE and store the bf16 result in the trajectory:
-            # halves the dominant HBM buffer and makes the update phase's
-            # log-probs recompute from bit-identical network inputs.
-            norm_obs = normalize_obs(obs).astype(jnp.bfloat16).reshape(-1, 35)
             action, log_prob, value = policy_sample(params, norm_obs, akey)
-            env_state, ts = env.step_batch(env_state, action.reshape(-1, 2))
-            done = (ts.terminated == 1).astype(jnp.float32)
+            env_state, next_norm, reward1, terminated = \
+                env.step_batch_learner(env_state, action[:num_envs],
+                                       action[num_envs:])
+            done = (terminated == 1).astype(jnp.float32)
+            reward1 = reward1.astype(jnp.float32)
             tr = Transition(obs=norm_obs, action=action, log_prob=log_prob,
                             value=value,
-                            reward=ts.rewards.astype(jnp.float32).reshape(-1),
-                            done=jnp.repeat(done, 2))
-            return (env_state, ts.obs, key), tr
+                            reward=jnp.concatenate([reward1, -reward1]),
+                            done=jnp.concatenate([done, done]))
+            return (env_state, next_norm, key), tr
 
         # Pin the env-axis sharding ONCE at scan entry.  A per-frame
         # with_sharding_constraint inside the scan body is catastrophic
@@ -164,21 +181,36 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
         # mesh: it forces a materialization barrier every frame); GSPMD
         # propagates this entry sharding through the loop by itself.
         env_state = _constrain(env_state, sharded=True)
-        return jax.lax.scan(step, (env_state, obs, key), None,
+        return jax.lax.scan(step, (env_state, norm0, key), None,
                             length=cfg.rollout_length)
 
     # ----------------------------------------------------------------- GAE --
     def compute_gae(traj: Transition, last_value: jnp.ndarray):
-        def scan_fn(carry, tr):
-            gae, next_value = carry
-            not_done = 1.0 - tr.done
-            delta = tr.reward + cfg.gamma * next_value * not_done - tr.value
-            gae = delta + cfg.gamma * cfg.gae_lambda * not_done * gae
-            return (gae, tr.value), gae
+        # GAE is the first-order linear recurrence
+        #   gae_t = delta_t + (gamma * lam * not_done_t) * gae_{t+1},
+        # evaluated with an ASSOCIATIVE scan: a sequential lax.scan issues T
+        # tiny kernels over the (2B,) learner batch (measured ~100 ms of the
+        # train step at T=128, B=65536); the associative form is O(log T)
+        # full-buffer passes (~ms).  Float reassociation makes it differ
+        # from the sequential scan only at rounding level (tested to 1e-5).
+        not_done = 1.0 - traj.done                         # (T, 2B)
+        next_value = jnp.concatenate(
+            [traj.value[1:], last_value[None]], axis=0)
+        delta = (traj.reward + cfg.gamma * next_value * not_done
+                 - traj.value)
+        coef = cfg.gamma * cfg.gae_lambda * not_done
+        # Last element's recurrence term is gae_{T} = 0, so coef_T is unused;
+        # flip to run the suffix recurrence as a prefix scan.
+        a = jnp.flip(coef, axis=0)
+        b = jnp.flip(delta, axis=0)
 
-        (_, _), advantages = jax.lax.scan(
-            scan_fn, (jnp.zeros_like(last_value), last_value), traj,
-            reverse=True)
+        def combine(left, right):
+            a_l, b_l = left
+            a_r, b_r = right
+            return a_l * a_r, a_r * b_l + b_r
+
+        _, y = jax.lax.associative_scan(combine, (a, b), axis=0)
+        advantages = jnp.flip(y, axis=0)
         return advantages, advantages + traj.value
 
     # ---------------------------------------------------------------- loss --
@@ -213,19 +245,27 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
     # ---------------------------------------------------------- train step --
     def train_step(runner: PPORunnerState
                    ) -> Tuple[PPORunnerState, TrainMetrics]:
-        (env_state, last_obs, key), traj = rollout(
+        from pikazoo_tpu.envs.observations import assemble_obs
+
+        (env_state, last_norm, key), traj = rollout(
             jax.lax.stop_gradient(runner.params), runner.env_state,
             runner.last_obs, runner.key)
 
-        _, last_value = network.apply(runner.params,
-                                      last_obs.reshape(-1, 35))  # (2B,)
+        # Raw-obs view of the final state for PPORunnerState.last_obs (one
+        # assembly per train step; the rollout itself never builds it).
+        last_obs = jax.vmap(assemble_obs)(
+            env_state.p1, env_state.p2, env_state.ball,
+            env_state.power_hit_key_down_prev)
+
+        _, last_value = network.apply(runner.params, last_norm,
+                                      pre_normalized=True)  # (2B,)
         advantages, targets = compute_gae(traj, last_value)
 
         if cfg.learner_seats == "p1":
             # Keep only seat 1's trajectory for the update phase (seat-
-            # interleaved flat layout: seat 1 is the even positions).
+            # BLOCKED flat layout: seat 1 is the first half of the rows).
             def seat(x):
-                return x.reshape(x.shape[0], -1, 2, *x.shape[2:])[:, :, 0]
+                return x[:, :x.shape[1] // 2]
 
             traj = Transition(*[seat(leaf) for leaf in traj])
             advantages, targets = seat(advantages), seat(targets)
@@ -236,14 +276,69 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
         batch = (traj, advantages, targets)
         batch = jax.tree.map(lambda x: x[perm], batch)
 
+        # Under a mesh a bare pallas_call would be lowered as an
+        # unpartitioned custom call (replicating the minibatch), so the
+        # mesh path wraps the kernel in shard_map over the learner-batch
+        # axis and psums the grad/loss partials (see _fused_minibatch_grads).
+        if cfg.fused_update == "on":
+            use_fused = True
+            fused_interpret = jax.default_backend() != "tpu"
+        elif cfg.fused_update == "auto":
+            use_fused = jax.default_backend() == "tpu" and mesh is None
+            fused_interpret = False
+        else:
+            use_fused, fused_interpret = False, False
+
+        def _fused_minibatch_grads(params, mtraj, madv, mtarget):
+            from pikazoo_tpu.train.fused_update import fused_ppo_grads
+
+            adv_n = (madv - madv.mean()) / (madv.std() + 1e-8)
+            kw = dict(num_actions=cfg.num_actions,
+                      activation=cfg.activation, clip_eps=cfg.clip_eps,
+                      value_coef=cfg.value_coef,
+                      entropy_coef=cfg.entropy_coef,
+                      interpret=fused_interpret)
+            data = (mtraj.obs, mtraj.action, mtraj.log_prob, mtraj.value,
+                    adv_n, mtarget)
+            total_rows = mtraj.action.shape[0] * mtraj.action.shape[1]
+            if mesh is None:
+                flat = lambda x: x.reshape(-1, *x.shape[2:])
+                return fused_ppo_grads(params, *map(flat, data), **kw)
+
+            # Mesh path: the learner-batch axis (dim 1 of every (T_mb, 2B,
+            # ...) leaf) is sharded; flatten LOCALLY inside shard_map (a
+            # global flatten of a dim-1-sharded array would interleave
+            # shards) and psum the grad/loss partials, which the kernel
+            # pre-scales by 1/total_rows.
+            from jax.sharding import PartitionSpec as P
+            axis = mesh.axis_names[0]
+
+            def local_grads(p, *leaves):
+                flat = lambda x: x.reshape(-1, *x.shape[2:])
+                grads, losses = fused_ppo_grads(p, *map(flat, leaves),
+                                                total_rows=total_rows, **kw)
+                grads = jax.tree.map(lambda x: jax.lax.psum(x, axis), grads)
+                return grads, jax.lax.psum(losses, axis)
+
+            return jax.shard_map(
+                local_grads, mesh=mesh,
+                in_specs=(P(),) + (P(None, axis),) * 6,
+                out_specs=(P(), P()),
+                check_vma=False)(params, *data)
+
         def epoch(carry, _):
             params, opt_state = carry
 
             def minibatch(carry, mb):
                 params, opt_state = carry
                 mtraj, madv, mtarget = mb
-                (total, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params, mtraj, madv, mtarget)
+                if use_fused:
+                    grads, losses = _fused_minibatch_grads(
+                        params, mtraj, madv, mtarget)
+                    total, aux = losses[0], tuple(losses[1:])
+                else:
+                    (total, aux), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params, mtraj, madv, mtarget)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), (total, *aux)

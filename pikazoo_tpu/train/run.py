@@ -35,6 +35,9 @@ def parse_args(argv=None):
                         "instead of symmetric self-play")
     p.add_argument("--ball-shaping", type=float, nargs=8, default=None,
                    metavar="R", help="RewardByBallPosition 8-tuple")
+    p.add_argument("--fused-update", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Pallas fused minibatch gradient (TPU, single-dev)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=50)
@@ -76,7 +79,8 @@ def main(argv=None):
                     rollout_length=args.rollout_length,
                     num_actions=num_actions,
                     learning_rate=args.learning_rate,
-                    learner_seats="p1" if args.vs_ai else "both")
+                    learner_seats="p1" if args.vs_ai else "both",
+                    fused_update=args.fused_update)
     init_fn, train_step, _ = make_ppo_trainer(env, cfg, mesh=mesh)
 
     runner = init_fn(jax.random.key(args.seed))

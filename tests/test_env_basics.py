@@ -172,3 +172,37 @@ def test_draw_counter_semantics():
     env_r = PikaZoo(EnvConfig(serve="random"))
     state, _ = env_r.reset(jax.random.key(13))
     assert int(state.draw_counter) == 3
+
+
+def test_step_batch_learner_matches_step_batch():
+    """The learner fast path must evolve state identically to step_batch and
+    emit exactly normalize(obs) in seat-blocked row order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+    from pikazoo_tpu.train.networks import normalize_obs
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    B = 16
+    state_a, ts = env.reset_batch(jax.random.key(5), B)
+    state_b = state_a
+    key = jax.random.key(6)
+    for _ in range(40):
+        key, sub = jax.random.split(key)
+        acts = jax.random.randint(sub, (B, 2), 0, 18, jnp.int32)
+        state_a, ts = env.step_batch(state_a, acts)
+        state_b, norm_obs, reward1, terminated = env.step_batch_learner(
+            state_b, acts[:, 0], acts[:, 1])
+        for la, lb in zip(jax.tree.leaves(state_a), jax.tree.leaves(state_b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        expect = jnp.concatenate(
+            [normalize_obs(ts.obs[:, 0]), normalize_obs(ts.obs[:, 1])],
+            axis=0).astype(jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(norm_obs),
+                                      np.asarray(expect))
+        np.testing.assert_array_equal(np.asarray(reward1),
+                                      np.asarray(ts.rewards[:, 0]))
+        np.testing.assert_array_equal(np.asarray(terminated),
+                                      np.asarray(ts.terminated))

@@ -33,13 +33,19 @@ from pikazoo_tpu.train.ppo import Transition
 B = int(os.environ.get("PPO_ENVS", 65536))
 T = 128
 cfg = PPOConfig(num_envs=B, rollout_length=T)
-mesh = make_env_mesh()
+# Match bench.measure_ppo: no mesh on a single device (a 1-device mesh only
+# adds GSPMD partitioning overhead — that's what the phase timings would
+# otherwise misattribute).  PPO_DECOMP_MESH=1 forces it for comparison.
+use_mesh = (len(jax.devices()) > 1
+            or os.environ.get("PPO_DECOMP_MESH") == "1")
+mesh = make_env_mesh() if use_mesh else None
 env = PikaZoo(EnvConfig(auto_reset=True))
 init_fn, train_step, network = make_ppo_trainer(env, cfg, mesh=mesh)
 runner = init_fn(jax.random.key(0))
-runner = runner._replace(env_state=shard_batch(runner.env_state, mesh),
-                         last_obs=jax.device_put(runner.last_obs,
-                                                 env_sharding(mesh)))
+if mesh is not None:
+    runner = runner._replace(env_state=shard_batch(runner.env_state, mesh),
+                             last_obs=jax.device_put(runner.last_obs,
+                                                     env_sharding(mesh)))
 print("[0] init done", flush=True)
 
 

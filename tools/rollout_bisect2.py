@@ -113,6 +113,9 @@ timed_roll("[8] like 7, obs stored feature-major",
            jax.jit(mk_rollout("feature", None)),
            (state, obs0, jax.random.key(1)))
 
+if os.environ.get("SKIP_MESH_VARIANT") == "1":
+    sys.exit(0)
+
 mesh = make_env_mesh()
 sstate = shard_batch(state, mesh)
 sobs = jax.device_put(obs0, env_sharding(mesh))
