@@ -90,12 +90,13 @@ def _kernel(obs_ref, act_ref, lpold_ref, vold_ref, adv_ref, tgt_ref,
         pre1 = jax.lax.dot_general(w1_ref[...], x, c00,
                                    preferred_element_type=f32) \
             + b1_ref[...]                                # (H, C)
-        h1 = jnp.tanh(pre1)
-        h1b = h1.astype(jnp.bfloat16)
+        # Keep ONLY the bf16 activation and re-derive f32 where needed:
+        # holding both f32 tanh and its bf16 round triggers a Mosaic
+        # verifier bug (bf16->f32 'vector.broadcast' with equal shapes).
+        h1b = jnp.tanh(pre1).astype(jnp.bfloat16)
         pre2 = jax.lax.dot_general(w2_ref[...], h1b, c00,
                                    preferred_element_type=f32) + b2_ref[...]
-        h2 = jnp.tanh(pre2)
-        h2b = h2.astype(jnp.bfloat16)
+        h2b = jnp.tanh(pre2).astype(jnp.bfloat16)
         logits = jax.lax.dot_general(wp_ref[...], h2b, c00,
                                      preferred_element_type=f32) \
             + bp_ref[...]                                # (A, C)
@@ -147,11 +148,15 @@ def _kernel(obs_ref, act_ref, lpold_ref, vold_ref, adv_ref, tgt_ref,
                                             preferred_element_type=f32)
         dbv_ref[...] += colsum(dvalue)                   # (1, 1)
 
-        dh2 = (jax.lax.dot_general(wp_ref[...], dlb, c11,
+        # dh2 = Wp @ dlogits + Wv @ dvalue: contract the head OUTPUT dim
+        # (Wp dim1) with the gradient's row dim (dim0).
+        c10 = (((1,), (0,)), ((), ()))
+        dh2 = (jax.lax.dot_general(wp_ref[...], dlb, c10,
                                    preferred_element_type=f32)
-               + jax.lax.dot_general(wv_ref[...], dvb, c11,
+               + jax.lax.dot_general(wv_ref[...], dvb, c10,
                                      preferred_element_type=f32))  # (H, C)
-        dpre2 = dh2 * (1.0 - h2 * h2)
+        h2f = h2b.astype(f32)
+        dpre2 = dh2 * (1.0 - h2f * h2f)
         dpre2b = dpre2.astype(jnp.bfloat16)
         dw2_ref[...] += jax.lax.dot_general(h1b, dpre2b, c11,
                                             preferred_element_type=f32)
@@ -160,7 +165,8 @@ def _kernel(obs_ref, act_ref, lpold_ref, vold_ref, adv_ref, tgt_ref,
         dh1 = jax.lax.dot_general(w2_ref[...], dpre2b,
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=f32)     # (H, C)
-        dpre1 = dh1 * (1.0 - h1 * h1)
+        h1f = h1b.astype(f32)
+        dpre1 = dh1 * (1.0 - h1f * h1f)
         dpre1b = dpre1.astype(jnp.bfloat16)
         dw1_ref[...] += jax.lax.dot_general(x, dpre1b, c11,
                                             preferred_element_type=f32)
