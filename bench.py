@@ -92,17 +92,21 @@ def _mk(metric: str, steps_per_s: float, baseline: float) -> dict:
 # Direct (in-process) measurements — one per BASELINE config.
 # --------------------------------------------------------------------------
 
-def _time_calls(fn, state, iters: int) -> float:
+def _time_calls(fn, state, iters: int, block: bool = True) -> float:
     """Time ``iters`` sequential calls of a jitted ``state -> state`` step
-    after one untimed compile call; returns elapsed seconds."""
-    import jax
+    after one untimed compile call; returns elapsed seconds.  ``block=False``
+    for host-native (non-JAX) callables."""
+    if block:
+        import jax
 
     state = fn(state)  # compile, not timed
-    jax.block_until_ready(state)
+    if block:
+        jax.block_until_ready(state)
     t0 = time.perf_counter()
     for _ in range(iters):
         state = fn(state)
-    jax.block_until_ready(state)
+    if block:
+        jax.block_until_ready(state)
     return time.perf_counter() - t0
 
 
@@ -171,20 +175,50 @@ def measure_fused(batch: int, steps: int, iters: int, computer: bool) -> float:
 
 
 def measure_batch1(steps: int, iters: int) -> float:
-    """Config 1: single env (batch=1), defaults, human agents, scanned.
+    """Config 1: single env (batch=1), defaults, human agents, PER-STEP loop.
 
     Engine selection by shape: batch=1 is latency-bound, not throughput-bound,
-    so it is served from the host XLA-CPU backend (167k steps/s on this host)
-    rather than the remote TPU (19k steps/s — every frame of the scan chains
-    ~50 tiny sequential kernels through the device, so a single env pays pure
-    dispatch/serialization latency with nothing to amortize it over).  This is
-    the same policy a production serving stack uses: the TPU is the engine for
-    the batched axes (configs 2-5); a single interactive match belongs on the
-    host.  Set PIKAZOO_BATCH1_TPU=1 to force the device path.
+    so it is served from the native C++ host engine's SingleStepper — an
+    interactive step+observe every frame, apples-to-apples with the reference
+    measurement (a per-step ``raw_env.step`` Python loop at 53k steps/s) and
+    bit-identical to the JAX kernel (fuzz-parity in test_native_engine.py).
+    The TPU is the engine for the batched axes (configs 2-5); a single
+    interactive match belongs on the host, as in any production serving
+    stack.  PIKAZOO_BATCH1_ENGINE selects: ``native`` (default), ``xla-cpu``
+    (scanned host XLA, 167k/s), ``tpu`` (scanned on-device, pays ~1ms/frame
+    dispatch over this host's remote tunnel).
     """
+    sel = os.environ.get("PIKAZOO_BATCH1_ENGINE", "native")
+    if sel == "native":
+        import numpy as np
+
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+        from pikazoo_tpu.envs import EnvConfig, PikaZoo
+        from pikazoo_tpu.native.engine import NativeEngine
+
+        env = PikaZoo(EnvConfig(auto_reset=True))
+        state, _ = env.reset(jax.random.key(0))
+        eng = NativeEngine(auto_reset=True)
+        stepper = eng.single_stepper(NativeEngine.pack(state))
+        acts = np.random.default_rng(0).integers(0, 18, (steps, 2))
+        acts = [(int(a), int(b)) for a, b in acts]
+
+        def run_once(_arg):
+            step_obs = stepper.step_obs
+            for a, b in acts:
+                step_obs(a, b)
+            return stepper.state
+
+        stepper.step_obs(0, 0)  # warm the .so
+        dt = _time_calls(run_once, None, iters, block=False)
+        return steps * iters / dt
+
     import jax
 
-    if os.environ.get("PIKAZOO_BATCH1_TPU") != "1":
+    if sel != "tpu":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 

@@ -49,7 +49,8 @@ class raw_env:  # noqa: N801 — matches the reference class name
                  render_mode: Optional[str] = None,
                  seed: Optional[int] = None,
                  render_rng_coupled: bool = False,
-                 sprite_dir: Optional[str] = None):
+                 sprite_dir: Optional[str] = None,
+                 backend: str = "jax"):
         self.possible_agents = ["player_1", "player_2"]
         self.agents = self.possible_agents[:]
         self._config = EnvConfig(
@@ -58,7 +59,26 @@ class raw_env:  # noqa: N801 — matches the reference class name
             is_player2_computer=is_player2_computer,
             auto_reset=False)
         self._env = PikaZoo(self._config)
-        self._step = jax.jit(self._env.step)
+        # backend="native" serves the per-frame loop from the C++ host engine
+        # (bit-identical to the JAX env — production threefry draw slots,
+        # tested in tests/test_native_engine.py) at ~10x the reference's
+        # step rate; batch=1 on an accelerator is pure dispatch latency, so
+        # the interactive path belongs on the host.
+        assert backend in ("jax", "native"), backend
+        self._backend = backend
+        if backend == "native":
+            from pikazoo_tpu.native.engine import (FIELDS,  # noqa: PLC0415
+                                                   NativeEngine)
+            self._eng = NativeEngine(
+                winning_score=winning_score, serve=serve,
+                is_player1_computer=is_player1_computer,
+                is_player2_computer=is_player2_computer, auto_reset=False)
+            self._matrix = None
+            self._stepper = None
+            self._cols = tuple(FIELDS.index(f) for f in
+                               ("score1", "score2", "game_ended",
+                                "draw_counter"))
+        self._step = jax.jit(self._env.step) if backend == "jax" else None
         if seed is None:
             seed = int(np.random.SeedSequence().entropy % (2 ** 63))
         self._key = jax.random.key(seed)
@@ -98,12 +118,29 @@ class raw_env:  # noqa: N801 — matches the reference class name
 
     # --------------------------------------------------------------- api --
     def _do_reset(self):
+        """Start a new episode; returns the (2, 35) int32 reset observation."""
         key = jax.random.fold_in(self._key, self._episode_index)
         self._episode_index += 1
+        if self._backend == "native":
+            if self._matrix is None:
+                # Episode 0: construction-time init through the (eager) JAX
+                # reset, then hand the packed state to the C++ engine.  Later
+                # resets run natively — bit-identical (test_native_engine.py).
+                from pikazoo_tpu.native.engine import \
+                    NativeEngine  # noqa: PLC0415
+                self._state, ts = self._env.reset(key)
+                self._matrix = NativeEngine.pack(self._state)
+                self._stepper = self._eng.single_stepper(self._matrix)
+            else:
+                from pikazoo_tpu.core.rng import key_from_jax  # noqa: PLC0415
+                self._eng.reset(self._matrix,
+                                rng_key=np.asarray(key_from_jax(key),
+                                                   np.uint32).reshape(1, 2))
+            return self._stepper.observe()
         self._state, ts = self._env.reset(key, carry=self._state)
         if getattr(self, "_render_rng_coupled", False):
             self._sync_draw_host()
-        return ts
+        return np.asarray(ts.obs, np.int32)
 
     # Host-side mirror of (rng_key, draw_counter) so coupled render draws
     # cost no device round trip each; flushed back into the state pytree
@@ -121,6 +158,14 @@ class raw_env:  # noqa: N801 — matches the reference class name
 
     def _coupled_draw(self, upper: int) -> int:
         from pikazoo_tpu.core.rng import site_value_host  # noqa: PLC0415
+        if self._backend == "native":
+            # The draw counter lives in the state matrix the C++ engine
+            # steps, so host draws advance the same stream with no syncing.
+            ctr_col = self._cols[3]
+            key = self._matrix[0, -2:].view(np.uint32)
+            value = site_value_host(key, int(self._matrix[0, ctr_col]), upper)
+            self._matrix[0, ctr_col] += 1
+            return value
         if not hasattr(self, "_rng_key_host"):
             self._sync_draw_host()
         value = site_value_host(self._rng_key_host, self._draw_counter_host,
@@ -135,29 +180,41 @@ class raw_env:  # noqa: N801 — matches the reference class name
         self.agents = self.possible_agents[:]
         self.scores[0] = 0
         self.scores[1] = 0
-        ts = self._do_reset()
+        obs = self._do_reset()
         if self.render_mode == "human":
             self.render()
-        return self._obs_dict(ts), self._infos()
+        return self._obs_dict(obs), self._infos()
 
     def step(self, actions: Dict[str, int]):
-        if self._render_rng_coupled:
-            self._flush_draw_host()
-        acts = jnp.asarray([int(actions[a]) for a in self.agents], jnp.int32)
-        self._state, ts = self._step(self._state, acts)
-        if self._render_rng_coupled:
-            self._sync_draw_host()
-        scores = np.asarray(ts.scores)
-        self.scores[0] = int(scores[0])
-        self.scores[1] = int(scores[1])
+        if self._backend == "native":
+            obs, rew, flags = self._stepper.step_obs(
+                int(actions[self.agents[0]]), int(actions[self.agents[1]]))
+            row = self._matrix[0]
+            c_s1, c_s2, _, _ = self._cols
+            self.scores[0] = int(row[c_s1])
+            self.scores[1] = int(row[c_s2])
+            r1 = int(rew[0])
+            terminated = bool(flags & 1)
+        else:
+            if self._render_rng_coupled:
+                self._flush_draw_host()
+            acts = jnp.asarray([int(actions[a]) for a in self.agents],
+                               jnp.int32)
+            self._state, ts = self._step(self._state, acts)
+            if self._render_rng_coupled:
+                self._sync_draw_host()
+            scores = np.asarray(ts.scores)
+            self.scores[0] = int(scores[0])
+            self.scores[1] = int(scores[1])
+            obs = np.asarray(ts.obs, np.int32)
+            r1 = int(np.asarray(ts.rewards)[0])
+            terminated = bool(np.asarray(ts.terminated))
 
         if self.render_mode == "human":
             self.render()
 
-        observations = self._obs_dict(ts)
-        r1 = int(np.asarray(ts.rewards)[0])
+        observations = self._obs_dict(obs)
         rewards = {self.agents[0]: r1, self.agents[1]: -r1}
-        terminated = bool(np.asarray(ts.terminated))
         terminations = {agent: terminated for agent in self.agents}
         truncations = {agent: False for agent in self.agents}
         infos = self._infos()
@@ -172,15 +229,18 @@ class raw_env:  # noqa: N801 — matches the reference class name
                 "You are calling render method without specifying any "
                 "render mode.")
             return None
-        return self._renderer.render(self._state)
+        state = self._state
+        if self._backend == "native":
+            from pikazoo_tpu.native.engine import NativeEngine  # noqa: PLC0415
+            state = NativeEngine.unpack(self._matrix, self._state)
+        return self._renderer.render(state)
 
     def close(self):
         self._renderer.close()
 
     # ----------------------------------------------------------- helpers --
-    def _obs_dict(self, ts):
-        obs = np.asarray(ts.obs, np.int32)
-        return {"player_1": obs[0], "player_2": obs[1]}
+    def _obs_dict(self, obs):
+        return {"player_1": np.array(obs[0]), "player_2": np.array(obs[1])}
 
     def _infos(self):
         # Shared mutable list, like the reference (consumers must copy).

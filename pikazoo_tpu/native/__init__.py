@@ -1,4 +1,5 @@
 from pikazoo_tpu.native.engine import (FIELDS, NFIELDS, NativeEngine,
-                                       native_available)
+                                       SingleStepper, native_available)
 
-__all__ = ["NativeEngine", "FIELDS", "NFIELDS", "native_available"]
+__all__ = ["NativeEngine", "SingleStepper", "FIELDS", "NFIELDS",
+           "native_available"]

@@ -78,6 +78,10 @@ def _build_and_load():
         [ctypes.c_int] * 7
     lib.pika_run_batch.argtypes = [i32p, i32p, i32p, i32p, u8p] + \
         [ctypes.c_int] * 8
+    lib.pika_obs_batch.argtypes = [i32p, i32p, ctypes.c_int]
+    lib.pika_step_obs_batch.argtypes = [i32p, i32p, i32p, i32p, u8p, i32p] + \
+        [ctypes.c_int] * 7
+    lib.pika_reset_batch.argtypes = [i32p, i32p] + [ctypes.c_int] * 3
     _lib = lib
 
 
@@ -211,3 +215,101 @@ class NativeEngine:
                             self.serve_mode, self.p1_cpu, self.p2_cpu,
                             self.auto_reset, cap)
         return rewards, flags
+
+    def obs(self, state: np.ndarray, out: Optional[np.ndarray] = None
+            ) -> np.ndarray:
+        """Mirrored (B, 2, 35) int32 observations (observations.py layout)."""
+        B = state.shape[0]
+        if out is None:
+            out = np.empty((B, 2, 35), np.int32)
+        _lib.pika_obs_batch(state, out, B)
+        return out
+
+    def reset(self, state: np.ndarray, rng_key: Optional[np.ndarray] = None,
+              oracle: Optional[np.ndarray] = None) -> None:
+        """New-game reset in place (JAX env ``reset(key, carry=state)``
+        semantics): optionally install a new threefry stream key, zero the
+        draw counter, then clear scores/flags and round-init with the
+        boldness/serve draws.  Non-reset fields leak, like the reference."""
+        B = state.shape[0]
+        if rng_key is not None:
+            state[:, -2:] = np.asarray(rng_key, np.uint32).view(
+                np.int32).reshape(B, 2)
+        state[:, FIELDS.index("draw_counter")] = 0
+        oracle, cap = self._oracle_or_production(oracle, B)
+        _lib.pika_reset_batch(state, oracle, B, self.serve_mode, cap)
+
+    def single_stepper(self, state: np.ndarray) -> "SingleStepper":
+        """Zero-overhead interactive stepper bound to row 0 of ``state``."""
+        return SingleStepper(self, state)
+
+
+class SingleStepper:
+    """Latency-optimized single-env stepper over a bound (1, NFIELDS) state.
+
+    The generic :meth:`NativeEngine.step` pays ~20µs/call in ctypes ndpointer
+    validation — more than the physics itself.  This binds raw pointers once
+    (state, a private action/reward/flag buffer) so a step is a single
+    argument-check-free foreign call: ~1.6µs/frame (~640k steps/s) on this
+    host vs the reference env's 53k.  Mutates the bound state in place;
+    rewards/flags/obs buffers are reused across calls (copy to keep).
+    """
+
+    def __init__(self, engine: NativeEngine, state: np.ndarray):
+        assert state.shape == (1, NFIELDS) and state.dtype == np.int32 \
+            and state.flags["C_CONTIGUOUS"]
+        self.state = state
+        self.actions = np.zeros((1, 2), np.int32)
+        self.rewards = np.zeros((1, 2), np.int32)
+        self.flags = np.zeros((1,), np.uint8)
+        self.obs = np.zeros((1, 2, 35), np.int32)
+        self._oracle = np.zeros((1, 1), np.int32)
+        # Raw-pointer mirror of the library: no per-call argtype validation.
+        self._raw = ctypes.CDLL(_lib._name)
+        self._raw.pika_step_batch.restype = None
+        self._raw.pika_step_batch.argtypes = None
+        self._raw.pika_obs_batch.restype = None
+        self._raw.pika_obs_batch.argtypes = None
+        vp = ctypes.c_void_p
+        self._p_state = vp(state.ctypes.data)
+        self._p_act = vp(self.actions.ctypes.data)
+        self._p_rew = vp(self.rewards.ctypes.data)
+        self._p_flag = vp(self.flags.ctypes.data)
+        self._p_obs = vp(self.obs.ctypes.data)
+        self._p_oracle = vp(self._oracle.ctypes.data)
+        self._step_args = (self._p_state, self._p_act, self._p_oracle,
+                           self._p_rew, self._p_flag, 1,
+                           engine.winning_score, engine.serve_mode,
+                           engine.p1_cpu, engine.p2_cpu, engine.auto_reset, 0)
+        self._raw.pika_step_obs_batch.restype = None
+        self._raw.pika_step_obs_batch.argtypes = None
+        self._step_obs_args = (self._p_state, self._p_act, self._p_oracle,
+                               self._p_rew, self._p_flag, self._p_obs, 1,
+                               engine.winning_score, engine.serve_mode,
+                               engine.p1_cpu, engine.p2_cpu,
+                               engine.auto_reset, 0)
+        self._f_step = self._raw.pika_step_batch
+        self._f_step_obs = self._raw.pika_step_obs_batch
+        self._f_obs = self._raw.pika_obs_batch
+
+    def step(self, a1: int, a2: int) -> Tuple[np.ndarray, int]:
+        """One frame.  Returns (rewards (2,) view, flags bitmask:
+        1 terminated | 2 round_ended | 4 ball_touched_ground)."""
+        self.actions[0, 0] = a1
+        self.actions[0, 1] = a2
+        self._f_step(*self._step_args)
+        return self.rewards[0], int(self.flags[0])
+
+    def step_obs(self, a1: int, a2: int
+                 ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """One frame + observation in a single foreign call.  Returns
+        (obs (2, 35) view, rewards (2,) view, flags bitmask)."""
+        self.actions[0, 0] = a1
+        self.actions[0, 1] = a2
+        self._f_step_obs(*self._step_obs_args)
+        return self.obs[0], self.rewards[0], int(self.flags[0])
+
+    def observe(self) -> np.ndarray:
+        """(2, 35) mirrored observation view of the current state."""
+        self._f_obs(self._p_state, self._p_obs, 1)
+        return self.obs[0]

@@ -461,11 +461,104 @@ void step_one(int32_t* s, const int32_t* actions, const int32_t* oracle,
   ++s[STEPS];
 }
 
+// Mirrored 35-dim observation assembly — same layout as
+// pikazoo_tpu/envs/observations.py (reference pikazoo_env.py:481-565):
+// per player (13): x, y, vy, diving_direction, lying, frame, delay,
+// one_hot(state, 5), power_hit_key_down_prev; ball (9): x, y, prev_x,
+// prev_y, prev_prev_x, prev_prev_y, vx, vy, is_power_hit.
+inline int32_t* write_player_obs(const int32_t* s, bool is_p2, int32_t* o) {
+  const int off = is_p2 ? P2_X - P1_X : 0;
+  *o++ = s[P1_X + off];
+  *o++ = s[P1_Y + off];
+  *o++ = s[P1_VY + off];
+  *o++ = s[P1_DIVE + off];
+  *o++ = s[P1_LYING + off];
+  *o++ = s[P1_FRAME + off];
+  *o++ = s[P1_DELAY + off];
+  int32_t st = s[P1_STATE + off];
+  for (int k = 0; k < 5; ++k) *o++ = (st == k) ? 1 : 0;
+  *o++ = s[is_p2 ? KEY2 : KEY1];
+  return o;
+}
+
+inline int32_t* write_ball_obs(const int32_t* s, int32_t* o) {
+  *o++ = s[B_X];
+  *o++ = s[B_Y];
+  *o++ = s[B_PX];
+  *o++ = s[B_PY];
+  *o++ = s[B_PPX];
+  *o++ = s[B_PPY];
+  *o++ = s[B_VX];
+  *o++ = s[B_VY];
+  *o++ = s[B_POWER];
+  return o;
+}
+
 }  // namespace
 
 extern "C" {
 
 int pika_nfields() { return NFIELDS; }
+
+void pika_obs_batch(const int32_t* state, int32_t* obs, int batch) {
+  // obs laid out [batch][2][35]: row 0 = player 1's view, row 1 mirrored.
+#pragma omp parallel for schedule(static)
+  for (int b = 0; b < batch; ++b) {
+    const int32_t* s = state + (size_t)b * NFIELDS;
+    int32_t* o = obs + (size_t)b * 70;
+    o = write_ball_obs(s, write_player_obs(s, true,
+                                           write_player_obs(s, false, o)));
+    write_ball_obs(s, write_player_obs(s, false,
+                                       write_player_obs(s, true, o)));
+  }
+}
+
+void pika_step_obs_batch(int32_t* state, const int32_t* actions,
+                         const int32_t* oracle, int32_t* rewards,
+                         uint8_t* flags, int32_t* obs, int batch,
+                         int winning_score, int serve_mode,
+                         int is_p1_computer, int is_p2_computer,
+                         int auto_reset, int oracle_cap) {
+  // step + mirrored obs in one foreign call — the interactive (batch=1)
+  // serving path, where per-call overhead dominates the physics.
+#pragma omp parallel for schedule(static)
+  for (int b = 0; b < batch; ++b) {
+    int32_t* s = state + (size_t)b * NFIELDS;
+    step_one(s, actions + (size_t)b * 2, oracle + (size_t)b * oracle_cap,
+             rewards + (size_t)b * 2, flags + b, winning_score, serve_mode,
+             is_p1_computer != 0, is_p2_computer != 0, auto_reset != 0,
+             oracle_cap);
+    int32_t* o = obs + (size_t)b * 70;
+    o = write_ball_obs(s, write_player_obs(s, true,
+                                           write_player_obs(s, false, o)));
+    write_ball_obs(s, write_player_obs(s, false,
+                                       write_player_obs(s, true, o)));
+  }
+}
+
+void pika_reset_batch(int32_t* state, const int32_t* oracle, int batch,
+                      int serve_mode, int oracle_cap) {
+  // New-game reset, mirroring the JAX env's reset-with-carry
+  // (envs/pika_volley.py; reference pikazoo_env.py:149-173): zero scores and
+  // flags, clear winner/game-ended, then round_init (boldness draws p1, p2,
+  // then the serve draw for serve=random).  The caller sets DRAWS/RNG_LO/
+  // RNG_HI beforehand; everything not touched here leaks across the reset
+  // exactly like the reference's partially-reset objects.
+#pragma omp parallel for schedule(static)
+  for (int b = 0; b < batch; ++b) {
+    int32_t* s = state + (size_t)b * NFIELDS;
+    Draws draws{oracle + (size_t)b * oracle_cap, oracle_cap, &s[DRAWS],
+                (uint32_t)s[RNG_LO], (uint32_t)s[RNG_HI]};
+    s[SCORE1] = s[SCORE2] = 0;
+    s[P2SERVE] = 0;
+    s[GAME_END] = 0;
+    s[ROUND_END] = 0;
+    s[STEPS] = 0;
+    s[P1_WINNER] = s[P2_WINNER] = 0;
+    s[P1_GAMEEND] = s[P2_GAMEEND] = 0;
+    round_init(s, &draws, serve_mode);
+  }
+}
 
 void pika_step_batch(int32_t* state, const int32_t* actions,
                      const int32_t* oracle, int32_t* rewards, uint8_t* flags,

@@ -102,3 +102,98 @@ def test_native_throughput_smoke():
     native.run(packed, acts, oracle_np)
     dt = time.perf_counter() - t0
     assert B * T / dt > 100_000  # comfortably above the reference's 53k
+
+
+def test_native_obs_matches_jax():
+    """C++ pika_obs_batch == assemble_obs along a stepped trajectory."""
+    B, T = 16, 300
+    env, jax_state, native, packed, oracle_np = make_envs(
+        B, seed=11, auto_reset=True)
+    oracle_j = jnp.asarray(oracle_np)
+    step = jax.jit(jax.vmap(env.step))
+    rng = np.random.default_rng(13)
+    for t in range(T):
+        acts = rng.integers(0, 18, size=(B, 2)).astype(np.int32)
+        jax_state, ts = step(jax_state, jnp.asarray(acts), oracle_j)
+        native.step(packed, acts, oracle_np)
+        if t % 60 == 59:
+            np.testing.assert_array_equal(native.obs(packed),
+                                          np.asarray(ts.obs),
+                                          err_msg=f"obs diverged at frame {t}")
+
+
+def test_native_reset_matches_jax_reset_with_carry():
+    """pika_reset_batch == envs reset(key, carry=state), production RNG."""
+    from pikazoo_tpu.core.rng import key_from_jax
+
+    env, jax_state, native, packed, _ = make_envs(4, seed=21, auto_reset=True)
+    # Advance with production draws so the carried state is mid-game.
+    rng = np.random.default_rng(2)
+    step = jax.jit(jax.vmap(env.step))
+    for _ in range(150):
+        acts = rng.integers(0, 18, size=(4, 2)).astype(np.int32)
+        jax_state, _ts = step(jax_state, jnp.asarray(acts))
+        native.step(packed, acts)
+    key = jax.random.key(99)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(4))
+    states = [env.reset(keys[i],
+                        carry=jax.tree.map(lambda x, i=i: x[i], jax_state))[0]
+              for i in range(4)]
+    expected = NativeEngine.pack(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *states))
+    native.reset(packed, rng_key=np.stack(
+        [np.asarray(key_from_jax(keys[i])) for i in range(4)]))
+    np.testing.assert_array_equal(packed, expected)
+
+
+@pytest.mark.parametrize("cfg_kw", [
+    dict(winning_score=3),
+    dict(winning_score=2, serve="random"),
+    dict(winning_score=2, is_player1_computer=True,
+         is_player2_computer=True),
+])
+def test_compat_native_backend_matches_jax_backend(cfg_kw):
+    """raw_env(backend='native') is frame-exact vs backend='jax' across
+    episodes (obs, rewards, terminations, scores, agent lifecycle)."""
+    from pikazoo_tpu.compat.parallel_env import raw_env
+
+    e1 = raw_env(seed=123, **cfg_kw)
+    e2 = raw_env(seed=123, backend="native", **cfg_kw)
+    rng = np.random.default_rng(5)
+    for _ep in range(2):
+        o1, _ = e1.reset()
+        o2, _ = e2.reset()
+        for a in o1:
+            np.testing.assert_array_equal(o1[a], o2[a])
+        while e1.agents:
+            acts = {a: int(rng.integers(0, 18)) for a in e1.agents}
+            obs1, rew1, term1, _tr1, _i1 = e1.step(acts)
+            obs2, rew2, term2, _tr2, _i2 = e2.step(dict(acts))
+            for a in ("player_1", "player_2"):
+                np.testing.assert_array_equal(obs1[a], obs2[a])
+                assert rew1[a] == rew2[a]
+                assert term1[a] == term2[a]
+            assert e1.scores == e2.scores
+            assert e1.agents == e2.agents
+
+
+def test_single_stepper_flags_and_views():
+    env, jax_state, native, packed, _ = make_envs(1, seed=31, auto_reset=True)
+    native.auto_reset = 0
+    stepper = native.single_stepper(np.ascontiguousarray(packed))
+    obs0 = stepper.observe().copy()
+    assert obs0.shape == (2, 35)
+    # Mirror property: my-block and opponent-block swap between the rows.
+    np.testing.assert_array_equal(obs0[0, :13], obs0[1, 13:26])
+    np.testing.assert_array_equal(obs0[0, 13:26], obs0[1, :13])
+    terminated = False
+    for _ in range(20000):
+        rew, flags = stepper.step(int(np.random.randint(18)),
+                                  int(np.random.randint(18)))
+        assert rew[0] == -rew[1]
+        if flags & 2:  # round ended -> scoring frame pays the zero-sum point
+            assert abs(int(rew[0])) == 1
+        if flags & 1:
+            terminated = True
+            break
+    assert terminated, "random self-play should finish a 15-point game"
