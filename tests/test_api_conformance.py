@@ -80,3 +80,27 @@ def test_compat_render_rgb_array():
     frame2 = env.render()
     assert frame2.shape == (304, 432, 3)
     env.close()
+
+
+def test_parallel_api_conformance_native_backend():
+    from pikazoo_tpu.native import native_available
+    if not native_available():
+        pytest.skip("g++ toolchain unavailable")
+    env = compat.env(seed=0, backend="native")
+    parallel_api_test(env, num_cycles=3000)
+
+
+def test_compat_render_rgb_array_native_backend():
+    from pikazoo_tpu.native import native_available
+    if not native_available():
+        pytest.skip("g++ toolchain unavailable")
+    # Native and JAX backends render identical frames from the same seed.
+    e1 = compat.env(seed=3, render_mode="rgb_array")
+    e2 = compat.env(seed=3, render_mode="rgb_array", backend="native")
+    e1.reset(), e2.reset()
+    np.testing.assert_array_equal(e1.render(), e2.render())
+    for _ in range(30):
+        acts = {"player_1": 5, "player_2": 2}
+        e1.step(acts), e2.step(dict(acts))
+    np.testing.assert_array_equal(e1.render(), e2.render())
+    e1.close(), e2.close()
