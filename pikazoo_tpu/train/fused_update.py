@@ -193,6 +193,245 @@ def _pick_rows(m: int) -> int:
     return m
 
 
+# ---------------------------------------------------------------------------
+# FEATURE-MAJOR variant.  The row-major kernel above ships every per-row
+# scalar as a (G, R, 1) block whose trailing 1-lane dim pads 128x in HBM; at
+# learner scale those padded reads made the Pallas path slower than XLA in
+# the full train step.  Feature-major kills all padding: scalars are (T, 2B)
+# blocks with native (8, 128) tiling, obs is (T, F, 2B) (F=35 pads only the
+# sublane dim to 40), and every matmul runs transposed (h = act(W^T x),
+# dW = x dh^T) so the batch lives on the 128-wide lanes end to end.
+# Numerics are identical to the row-major kernel (same casts, same f32
+# accumulation) — orientation only.
+
+_FM_FT = int(_os.environ.get("PIKAZOO_FM_FT", 8))     # frames per grid cell
+_FM_COLS = int(_os.environ.get("PIKAZOO_FM_C", 512))  # env columns per cell
+
+
+def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
+               clip_eps: float, value_coef: float, entropy_coef: float,
+               inv_m: float, ft: int, *refs):
+    """Grid cell: ft frames x C env-columns -> accumulate grads + losses.
+
+    refs layout matches ``_kernel`` (obs + 5 scalar inputs, weights, then
+    grad/loss outputs) but every block is feature-major: obs (ft, F, C),
+    scalars (ft, C), weights natural (F_in, F_out), biases (F_out, 1).
+    """
+    L = num_hidden
+    (obs_ref, act_ref, lpold_ref, vold_ref, adv_ref, tgt_ref) = refs[:6]
+    w_refs = refs[6:6 + L]
+    b_refs = refs[6 + L:6 + 2 * L]
+    wp_ref, bp_ref, wv_ref, bv_ref = refs[6 + 2 * L:10 + 2 * L]
+    out = refs[10 + 2 * L:]
+    dw_refs = out[:L]
+    db_refs = out[L:2 * L]
+    dwp_ref, dbp_ref, dwv_ref, dbv_ref, loss_ref = out[2 * L:]
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _zero_accumulators():
+        for r in (*dw_refs, *db_refs, dwp_ref, dbp_ref, dwv_ref, dbv_ref,
+                  loss_ref):
+            r[...] = jnp.zeros_like(r)
+
+    f32 = jnp.float32
+    rowsum = functools.partial(jnp.sum, axis=0, keepdims=True)  # over A/H
+    colsum = functools.partial(jnp.sum, axis=1, keepdims=True)  # over C
+    c00 = (((0,), (0,)), ((), ()))   # W^T x: contract input dims
+    c10 = (((1,), (0,)), ((), ()))   # W dY: contract output dim with rows
+    c11 = (((1,), (1,)), ((), ()))   # x dh^T: contract the C columns
+
+    policy_s = 0.0
+    value_s = 0.0
+    entropy_s = 0.0
+    kl_s = 0.0
+    for f in range(ft):
+        x = obs_ref[f]                                    # (F, C) bf16
+        # Keep ONLY the bf16 activation and re-derive f32 where needed:
+        # holding both the f32 activation and its bf16 round triggers a
+        # Mosaic verifier bug (bf16->f32 'vector.broadcast' @ equal shapes).
+        hs_b = []
+        h_b = x
+        for l in range(L):
+            pre = jax.lax.dot_general(w_refs[l][...], h_b, c00,
+                                      preferred_element_type=f32) \
+                + b_refs[l][...]                          # (H, C)
+            h_b = _act(pre, activation).astype(jnp.bfloat16)
+            hs_b.append(h_b)
+        logits = jax.lax.dot_general(wp_ref[...], h_b, c00,
+                                     preferred_element_type=f32) \
+            + bp_ref[...]                                 # (A, C)
+        value = jax.lax.dot_general(wv_ref[...], h_b, c00,
+                                    preferred_element_type=f32) \
+            + bv_ref[...]                                 # (1, C)
+
+        m = jnp.max(logits, axis=0, keepdims=True)
+        ex = jnp.exp(logits - m)
+        sumex = rowsum(ex)
+        logp_all = logits - (jnp.log(sumex) + m)
+        p = ex / sumex
+        act_row = act_ref[f:f + 1, :]                     # (1, C) i32
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+                  == act_row).astype(f32)
+        lp_new = rowsum(logp_all * onehot)                # (1, C)
+
+        lpo = lpold_ref[f:f + 1, :]
+        adv = adv_ref[f:f + 1, :]
+        vold = vold_ref[f:f + 1, :]
+        tgt = tgt_ref[f:f + 1, :]
+        ratio = jnp.exp(lp_new - lpo)
+        unclipped = ratio * adv
+        clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps) * adv
+        policy_s += -jnp.sum(jnp.minimum(unclipped, clipped))
+        entropy_row = -rowsum(p * logp_all)               # (1, C)
+        entropy_s += jnp.sum(entropy_row)
+        vclip = vold + jnp.clip(value - vold, -clip_eps, clip_eps)
+        e1 = value - tgt
+        e2 = vclip - tgt
+        value_s += 0.5 * jnp.sum(jnp.maximum(e1 * e1, e2 * e2))
+        kl_s += jnp.sum((ratio - 1.0) - jnp.log(ratio))
+
+        inside_r = ((ratio > 1.0 - clip_eps)
+                    & (ratio < 1.0 + clip_eps)).astype(f32)
+        dmin = jnp.where(unclipped <= clipped, adv, adv * inside_r)
+        dlp = -inv_m * dmin * ratio                       # (1, C)
+        dlogits = (dlp * (onehot - p)
+                   + (entropy_coef * inv_m) * p * (logp_all + entropy_row))
+        inside_v = ((value - vold > -clip_eps)
+                    & (value - vold < clip_eps)).astype(f32)
+        dvalue = (value_coef * inv_m) * jnp.where(e1 * e1 >= e2 * e2, e1,
+                                                  e2 * inside_v)   # (1, C)
+
+        dlogits_b = dlogits.astype(jnp.bfloat16)
+        dvalue_b = dvalue.astype(jnp.bfloat16)
+        dwp_ref[...] += jax.lax.dot_general(hs_b[-1], dlogits_b, c11,
+                                            preferred_element_type=f32)
+        dbp_ref[...] += colsum(dlogits)                   # (A, 1)
+        dwv_ref[...] += jax.lax.dot_general(hs_b[-1], dvalue_b, c11,
+                                            preferred_element_type=f32)
+        dbv_ref[...] += colsum(dvalue)                    # (1, 1)
+
+        dh = (jax.lax.dot_general(wp_ref[...], dlogits_b, c10,
+                                  preferred_element_type=f32)
+              + jax.lax.dot_general(wv_ref[...], dvalue_b, c10,
+                                    preferred_element_type=f32))  # (H, C)
+        for l in range(L - 1, -1, -1):
+            h_f = hs_b[l].astype(f32)
+            dpre = dh * _dact(h_f, activation)
+            dpre_b = dpre.astype(jnp.bfloat16)
+            below = hs_b[l - 1] if l > 0 else x
+            dw_refs[l][...] += jax.lax.dot_general(
+                below, dpre_b, c11, preferred_element_type=f32)
+            db_refs[l][...] += colsum(dpre)               # (H, 1)
+            if l > 0:
+                dh = jax.lax.dot_general(w_refs[l][...], dpre_b, c10,
+                                         preferred_element_type=f32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    loss_ref[...] += (jnp.where(col == 0, policy_s, 0.0)
+                      + jnp.where(col == 1, value_s, 0.0)
+                      + jnp.where(col == 2, entropy_s, 0.0)
+                      + jnp.where(col == 3, kl_s, 0.0))
+
+
+def _pick_tile(n: int, want: int, floor: int = 8) -> int:
+    t = want
+    while t > floor and n % t != 0:
+        t //= 2
+    return t if n % t == 0 else n
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_actions", "activation", "clip_eps", "value_coef", "entropy_coef",
+    "interpret", "total_rows"))
+def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
+                       action: jnp.ndarray, logp_old: jnp.ndarray,
+                       value_old: jnp.ndarray, adv_norm: jnp.ndarray,
+                       target: jnp.ndarray, *, num_actions: int,
+                       activation: str, clip_eps: float, value_coef: float,
+                       entropy_coef: float, interpret: bool = False,
+                       total_rows: int = 0
+                       ) -> Tuple[Dict[str, Any], jnp.ndarray]:
+    """Feature-major fused PPO minibatch gradient.
+
+    Same contract as :func:`fused_ppo_grads` but the minibatch keeps its
+    (T, 2B) shape: ``obs`` is (T, 2B, F) bf16 pre-normalized (transposed
+    once here to (T, F, 2B) — one cheap HBM pass), the per-row arrays are
+    (T, 2B).  Returns ``(grads, losses)`` identically.
+    """
+    dense = params["params"]
+    names = sorted(dense.keys(), key=lambda s: int(s.rsplit("_", 1)[1]))
+    L = len(names) - 2
+    w = [dense[n]["kernel"] for n in names]
+    b = [dense[n]["bias"] for n in names]
+    t_mb, b2 = action.shape
+    f = obs.shape[-1]
+    ft = _pick_tile(t_mb, _FM_FT, floor=1)
+    c = _pick_tile(b2, _FM_COLS, floor=128)
+    inv_m = 1.0 / (total_rows or t_mb * b2)
+
+    obs_fm = jnp.swapaxes(obs.astype(jnp.bfloat16), 1, 2)  # (T, F, 2B)
+    sc = lambda a: a.astype(jnp.float32)
+    w_b = [x.astype(jnp.bfloat16) for x in w]
+    b_c = [x.astype(jnp.float32).reshape(-1, 1) for x in b]  # (F_out, 1)
+
+    obs_spec = pl.BlockSpec((ft, f, c), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((ft, c), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+
+    def whole(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda i, j: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([obs_spec, sc_spec, sc_spec, sc_spec, sc_spec, sc_spec]
+                + [whole(x.shape) for x in w_b[:L]]
+                + [whole(x.shape) for x in b_c[:L]]
+                + [whole(w_b[L].shape), whole(b_c[L].shape),
+                   whole(w_b[L + 1].shape), whole(b_c[L + 1].shape)])
+    out_shapes = ([jax.ShapeDtypeStruct(x.shape, jnp.float32)
+                   for x in w[:L]]
+                  + [jax.ShapeDtypeStruct((x.shape[0], 1), jnp.float32)
+                     for x in b[:L]]
+                  + [jax.ShapeDtypeStruct(w[L].shape, jnp.float32),
+                     jax.ShapeDtypeStruct((b[L].shape[0], 1), jnp.float32),
+                     jax.ShapeDtypeStruct(w[L + 1].shape, jnp.float32),
+                     jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                     jax.ShapeDtypeStruct((1, 8), jnp.float32)])
+    out_specs = [whole(s.shape) for s in out_shapes]
+
+    kernel = functools.partial(_fm_kernel, L, num_actions, activation,
+                               clip_eps, value_coef, entropy_coef, inv_m, ft)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(t_mb // ft, b2 // c),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(obs_fm, action.astype(jnp.int32), sc(logp_old), sc(value_old),
+      sc(adv_norm), sc(target), *w_b[:L], *b_c[:L], w_b[L], b_c[L],
+      w_b[L + 1], b_c[L + 1])
+
+    dw = list(outs[:L])
+    db = [x.reshape(-1) for x in outs[L:2 * L]]
+    dwp, dbp, dwv, dbv, sums = outs[2 * L:]
+    grads_dense = {}
+    for i, n in enumerate(names[:L]):
+        grads_dense[n] = {"kernel": dw[i], "bias": db[i]}
+    grads_dense[names[L]] = {"kernel": dwp, "bias": dbp.reshape(-1)}
+    grads_dense[names[L + 1]] = {"kernel": dwv, "bias": dbv.reshape(-1)}
+    grads = {"params": grads_dense}
+
+    policy_loss = sums[0, 0] * inv_m
+    value_loss = sums[0, 1] * inv_m
+    entropy = sums[0, 2] * inv_m
+    approx_kl = sums[0, 3] * inv_m
+    total = policy_loss + value_coef * value_loss - entropy_coef * entropy
+    losses = jnp.stack([total, policy_loss, value_loss, entropy, approx_kl])
+    return grads, losses
+
+
 @functools.partial(jax.jit, static_argnames=(
     "num_actions", "activation", "clip_eps", "value_coef", "entropy_coef",
     "interpret", "total_rows"))

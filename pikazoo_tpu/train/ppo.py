@@ -58,11 +58,12 @@ class PPOConfig:
     # pass an env with is_player2_computer=True; the AI ignores seat-2 input).
     learner_seats: str = "both"
     # Minibatch gradients via the fused Pallas kernel (train/fused_update.py):
-    # one HBM pass instead of per-layer activation round trips (~4x faster
-    # update phase at learner scale).  "auto" = on when running on TPU;
-    # "off" = XLA autodiff; "on" = always (interpret-mode off-TPU, slow —
-    # test use only).  The fused path accumulates matmuls in f32, so it is
-    # not bitwise-identical to the bf16 XLA path (see module docstring).
+    # one HBM pass instead of per-layer activation round trips.  "auto" = on
+    # when running on TPU; "off" = XLA autodiff; "on" = always (row-major;
+    # interpret-mode off-TPU, slow — test use only); "fm" = the
+    # feature-major kernel (batch on the 128-wide lanes, no per-row scalar
+    # padding — see fused_update.py).  The fused paths accumulate matmuls in
+    # f32, so they are not bitwise-identical to the bf16 XLA path.
     fused_update: str = "auto"
 
 
@@ -280,7 +281,7 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
         # unpartitioned custom call (replicating the minibatch), so the
         # mesh path wraps the kernel in shard_map over the learner-batch
         # axis and psums the grad/loss partials (see _fused_minibatch_grads).
-        if cfg.fused_update == "on":
+        if cfg.fused_update in ("on", "fm"):
             use_fused = True
             fused_interpret = jax.default_backend() != "tpu"
         elif cfg.fused_update == "auto":
@@ -288,9 +289,11 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
             fused_interpret = False
         else:
             use_fused, fused_interpret = False, False
+        fused_fm = cfg.fused_update == "fm"
 
         def _fused_minibatch_grads(params, mtraj, madv, mtarget):
-            from pikazoo_tpu.train.fused_update import fused_ppo_grads
+            from pikazoo_tpu.train.fused_update import (fused_ppo_grads,
+                                                        fused_ppo_grads_fm)
 
             adv_n = (madv - madv.mean()) / (madv.std() + 1e-8)
             kw = dict(num_actions=cfg.num_actions,
@@ -302,6 +305,10 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
                     adv_n, mtarget)
             total_rows = mtraj.action.shape[0] * mtraj.action.shape[1]
             if mesh is None:
+                if fused_fm:
+                    # Feature-major path keeps the (T_mb, 2B) minibatch
+                    # shape; the kernel grids over frames x env columns.
+                    return fused_ppo_grads_fm(params, *data, **kw)
                 flat = lambda x: x.reshape(-1, *x.shape[2:])
                 return fused_ppo_grads(params, *map(flat, data), **kw)
 
@@ -314,9 +321,13 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
             axis = mesh.axis_names[0]
 
             def local_grads(p, *leaves):
-                flat = lambda x: x.reshape(-1, *x.shape[2:])
-                grads, losses = fused_ppo_grads(p, *map(flat, leaves),
-                                                total_rows=total_rows, **kw)
+                if fused_fm:
+                    grads, losses = fused_ppo_grads_fm(
+                        p, *leaves, total_rows=total_rows, **kw)
+                else:
+                    flat = lambda x: x.reshape(-1, *x.shape[2:])
+                    grads, losses = fused_ppo_grads(
+                        p, *map(flat, leaves), total_rows=total_rows, **kw)
                 grads = jax.tree.map(lambda x: jax.lax.psum(x, axis), grads)
                 return grads, jax.lax.psum(losses, axis)
 

@@ -204,3 +204,110 @@ def test_train_step_fused_mesh_matches_single():
                     jax.tree.leaves(out_mesh.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Feature-major variant (fused_ppo_grads_fm): same math, transposed layout.
+
+def _fm_shape(x):
+    """(M, ...) row-major test inputs -> (T, B2, ...) feature-major shape."""
+    return x.reshape(4, M // 4, *x.shape[1:])
+
+
+def _fused_fm(params, obs, action, logp_old, value_old, adv_n, target):
+    from pikazoo_tpu.train.fused_update import fused_ppo_grads_fm
+    return fused_ppo_grads_fm(
+        params, _fm_shape(obs), _fm_shape(action), _fm_shape(logp_old),
+        _fm_shape(value_old), _fm_shape(adv_n), _fm_shape(target),
+        num_actions=A, activation="tanh", clip_eps=CLIP, value_coef=VCOEF,
+        entropy_coef=ECOEF, interpret=True)
+
+
+def test_fm_losses_match_transcription():
+    net, params, obs, action, logp_old, v_old, adv_n, target = _make_inputs()
+    _, losses = _fused_fm(params, obs, action, logp_old, v_old, adv_n,
+                          target)
+    total, (pl_, vl, ent, kl) = _transcribed_forward(
+        params, obs, action, logp_old, v_old, adv_n, target)
+    ref = jnp.stack([total, pl_, vl, ent, kl])
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fm_grads_match_row_major_and_autodiff():
+    net, params, obs, action, logp_old, v_old, adv_n, target = _make_inputs()
+    fm_grads, fm_losses = _fused_fm(params, obs, action, logp_old, v_old,
+                                    adv_n, target)
+    rm_grads, rm_losses = _fused(params, obs, action, logp_old, v_old,
+                                 adv_n, target)
+    # vs the row-major kernel: identical math, only accumulation order and
+    # the activation-derivative operand precision differ.
+    np.testing.assert_allclose(np.asarray(fm_losses), np.asarray(rm_losses),
+                               rtol=1e-4, atol=1e-5)
+    g = np.asarray(_flat(fm_grads), np.float64)
+    r = np.asarray(_flat(rm_grads), np.float64)
+    cos = g @ r / (np.linalg.norm(g) * np.linalg.norm(r))
+    assert cos > 0.9999, cos
+    # vs autodiff of the transcription (the correctness anchor).
+    ref_grads = jax.grad(
+        lambda p: _transcribed_forward(p, obs, action, logp_old, v_old,
+                                       adv_n, target)[0])(params)
+    r2 = np.asarray(_flat(ref_grads), np.float64)
+    cos2 = g @ r2 / (np.linalg.norm(g) * np.linalg.norm(r2))
+    assert cos2 > 0.9995, cos2
+    for (path, gl), (_, rl) in zip(
+            jax.tree_util.tree_flatten_with_path(fm_grads)[0],
+            jax.tree_util.tree_flatten_with_path(ref_grads)[0]):
+        denom = np.linalg.norm(np.asarray(rl, np.float64)) + 1e-12
+        err = np.linalg.norm(np.asarray(gl, np.float64)
+                             - np.asarray(rl, np.float64)) / denom
+        assert err < 0.02, (path, err)
+
+
+def test_train_step_fm_smoke():
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+    from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    # 2B = 128 rows per seat-folded batch: the fm kernel's minimum column
+    # tile (floor 128) divides it.
+    cfg = PPOConfig(num_envs=64, rollout_length=8, num_minibatches=2,
+                    update_epochs=1, hidden=(32, 32), fused_update="fm")
+    init_fn, train_step, _ = make_ppo_trainer(env, cfg)
+    runner = init_fn(jax.random.key(0))
+    runner2, metrics = jax.jit(train_step)(runner)
+    assert np.isfinite(float(metrics.total_loss))
+    before = _flat(runner.params)
+    after = _flat(runner2.params)
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_train_step_fm_mesh_matches_single():
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+    from pikazoo_tpu.parallel import env_sharding, make_env_mesh, shard_batch
+    from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    # 8 devices x 128-column tile floor -> 2B = 2048 -> 1024 envs.
+    cfg = PPOConfig(num_envs=1024, rollout_length=4, num_minibatches=2,
+                    update_epochs=1, hidden=(32, 32), fused_update="fm")
+
+    init_fn, step_single, _ = make_ppo_trainer(env, cfg)
+    runner = init_fn(jax.random.key(3))
+    out_single, m_single = jax.jit(step_single)(runner)
+
+    mesh = make_env_mesh()
+    assert len(mesh.devices.ravel()) > 1, "conftest should provide 8 devices"
+    init_fn2, step_mesh, _ = make_ppo_trainer(env, cfg, mesh=mesh)
+    runner2 = init_fn2(jax.random.key(3))
+    runner2 = runner2._replace(
+        env_state=shard_batch(runner2.env_state, mesh),
+        last_obs=jax.device_put(runner2.last_obs, env_sharding(mesh)))
+    out_mesh, m_mesh = jax.jit(step_mesh)(runner2)
+
+    np.testing.assert_allclose(float(m_single.total_loss),
+                               float(m_mesh.total_loss), rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(_flat(out_single.params)),
+                               np.asarray(_flat(out_mesh.params)),
+                               rtol=2e-3, atol=2e-5)
