@@ -260,8 +260,14 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
         logits = jax.lax.dot_general(wp_ref[...], h_b, c00,
                                      preferred_element_type=f32) \
             + bp_ref[...]                                 # (A, C)
-        value = jax.lax.dot_general(wv_ref[...], h_b, c00,
-                                    preferred_element_type=f32) \
+        # Value head as elementwise f32 multiply + reduce: Mosaic's lowering
+        # of degenerate (1-row/col) dot_generals emits a dtype-invalid
+        # vector.broadcast ('vector.broadcast' bf16 -> f32 verifier error).
+        # bf16 products are exact in f32, so this matches MXU semantics up
+        # to summation order.
+        h_last_f = h_b.astype(f32)                        # (H, C)
+        wvf = wv_ref[...].astype(f32)                     # (H, 1)
+        value = jnp.sum(wvf * h_last_f, axis=0, keepdims=True) \
             + bv_ref[...]                                 # (1, C)
 
         m = jnp.max(logits, axis=0, keepdims=True)
@@ -302,18 +308,17 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
                                                   e2 * inside_v)   # (1, C)
 
         dlogits_b = dlogits.astype(jnp.bfloat16)
-        dvalue_b = dvalue.astype(jnp.bfloat16)
         dwp_ref[...] += jax.lax.dot_general(hs_b[-1], dlogits_b, c11,
                                             preferred_element_type=f32)
         dbp_ref[...] += colsum(dlogits)                   # (A, 1)
-        dwv_ref[...] += jax.lax.dot_general(hs_b[-1], dvalue_b, c11,
-                                            preferred_element_type=f32)
+        # Value-head grads without degenerate dots (see forward note):
+        # dWv = h dvalue^T summed over C; dh += Wv dvalue (outer product).
+        dwv_ref[...] += colsum(h_last_f * dvalue)         # (H, 1)
         dbv_ref[...] += colsum(dvalue)                    # (1, 1)
 
         dh = (jax.lax.dot_general(wp_ref[...], dlogits_b, c10,
                                   preferred_element_type=f32)
-              + jax.lax.dot_general(wv_ref[...], dvalue_b, c10,
-                                    preferred_element_type=f32))  # (H, C)
+              + wvf * dvalue)                             # (H, C)
         for l in range(L - 1, -1, -1):
             h_f = hs_b[l].astype(f32)
             dpre = dh * _dact(h_f, activation)

@@ -58,12 +58,14 @@ class PPOConfig:
     # pass an env with is_player2_computer=True; the AI ignores seat-2 input).
     learner_seats: str = "both"
     # Minibatch gradients via the fused Pallas kernel (train/fused_update.py):
-    # one HBM pass instead of per-layer activation round trips.  "auto" = on
-    # when running on TPU; "off" = XLA autodiff; "on" = always (row-major;
-    # interpret-mode off-TPU, slow — test use only); "fm" = the
-    # feature-major kernel (batch on the 128-wide lanes, no per-row scalar
-    # padding — see fused_update.py).  The fused paths accumulate matmuls in
-    # f32, so they are not bitwise-identical to the bf16 XLA path.
+    # one HBM pass instead of per-layer activation round trips.  "auto" =
+    # the feature-major kernel when running on TPU (measured ~2x the full
+    # train step vs XLA autodiff on v5e), XLA autodiff elsewhere; "off" =
+    # XLA autodiff; "fm" = feature-major always; "on" = row-major always
+    # (slower on TPU — kept as the layout A/B).  Off-TPU the forced modes
+    # run interpret-mode (test use only).  The fused paths accumulate
+    # matmuls in f32, so they are not bitwise-identical to the bf16 XLA
+    # path.
     fused_update: str = "auto"
 
 
@@ -284,12 +286,18 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
         if cfg.fused_update in ("on", "fm"):
             use_fused = True
             fused_interpret = jax.default_backend() != "tpu"
+            fused_fm = cfg.fused_update == "fm"
         elif cfg.fused_update == "auto":
-            use_fused = jax.default_backend() == "tpu" and mesh is None
+            # Hardware-measured (v5e, 65536 envs, 2026-08-17): the feature-
+            # major kernel nearly halves the full train step vs XLA autodiff
+            # (16.6M vs 8.5M env-steps/s); the row-major kernel REGRESSES it
+            # (6.7M — its (G, R, 1) per-row scalar blocks pad 128x in HBM).
+            # So auto = feature-major on TPU, XLA autodiff elsewhere.
+            use_fused = jax.default_backend() == "tpu"
             fused_interpret = False
+            fused_fm = True
         else:
-            use_fused, fused_interpret = False, False
-        fused_fm = cfg.fused_update == "fm"
+            use_fused, fused_interpret, fused_fm = False, False, False
 
         def _fused_minibatch_grads(params, mtraj, madv, mtarget):
             from pikazoo_tpu.train.fused_update import (fused_ppo_grads,

@@ -100,8 +100,13 @@ def _kernel(obs_ref, act_ref, lpold_ref, vold_ref, adv_ref, tgt_ref,
         logits = jax.lax.dot_general(wp_ref[...], h2b, c00,
                                      preferred_element_type=f32) \
             + bp_ref[...]                                # (A, C)
-        value = jax.lax.dot_general(wv_ref[...], h2b, c00,
-                                    preferred_element_type=f32) \
+        # Value head as elementwise f32 multiply + reduce: Mosaic's lowering
+        # of degenerate (1-row/col) dot_generals emits a dtype-invalid
+        # vector.broadcast.  bf16 products are exact in f32, so this matches
+        # MXU semantics bit-for-bit up to summation order.
+        h2f = h2b.astype(f32)
+        wvf = wv_ref[...].astype(f32)                    # (H, 1)
+        value = jnp.sum(wvf * h2f, axis=0, keepdims=True) \
             + bv_ref[...]                                # (1, C)
 
         m = jnp.max(logits, axis=0, keepdims=True)
@@ -140,12 +145,12 @@ def _kernel(obs_ref, act_ref, lpold_ref, vold_ref, adv_ref, tgt_ref,
                                              e2 * inside_v)  # (1, C)
 
         dlb = dlogits.astype(jnp.bfloat16)
-        dvb = dvalue.astype(jnp.bfloat16)
         dwp_ref[...] += jax.lax.dot_general(h2b, dlb, c11,
                                             preferred_element_type=f32)
         dbp_ref[...] += colsum(dlogits)                  # (A, 1)
-        dwv_ref[...] += jax.lax.dot_general(h2b, dvb, c11,
-                                            preferred_element_type=f32)
+        # Value-head grads without degenerate dots (see forward note):
+        # dWv = h2 dvalue^T -> sum over C; dh2 += Wv dvalue (outer product).
+        dwv_ref[...] += colsum(h2f * dvalue)             # (H, 1)
         dbv_ref[...] += colsum(dvalue)                   # (1, 1)
 
         # dh2 = Wp @ dlogits + Wv @ dvalue: contract the head OUTPUT dim
@@ -153,9 +158,7 @@ def _kernel(obs_ref, act_ref, lpold_ref, vold_ref, adv_ref, tgt_ref,
         c10 = (((1,), (0,)), ((), ()))
         dh2 = (jax.lax.dot_general(wp_ref[...], dlb, c10,
                                    preferred_element_type=f32)
-               + jax.lax.dot_general(wv_ref[...], dvb, c10,
-                                     preferred_element_type=f32))  # (H, C)
-        h2f = h2b.astype(f32)
+               + wvf * dvalue)                           # (H, C)
         dpre2 = dh2 * (1.0 - h2f * h2f)
         dpre2b = dpre2.astype(jnp.bfloat16)
         dw2_ref[...] += jax.lax.dot_general(h1b, dpre2b, c11,
