@@ -285,7 +285,8 @@ def measure_ppo(batch: int, iters: int) -> float:
         num_minibatches=int(os.environ.get("PIKAZOO_PPO_MBS", "4")),
         update_epochs=int(os.environ.get("PIKAZOO_PPO_EPOCHS", "4")),
         activation=os.environ.get("PIKAZOO_PPO_ACT", "tanh"),
-        fused_update=os.environ.get("PIKAZOO_PPO_FUSED", "auto"))
+        fused_update=os.environ.get("PIKAZOO_PPO_FUSED", "auto"),
+        shuffle_minibatches=os.environ.get("PIKAZOO_PPO_SHUFFLE", "0") == "1")
     # On a single device the mesh only adds GSPMD partitioning overhead
     # (no sharding to express); use it when there is something to shard,
     # or when forced for testing via PIKAZOO_PPO_MESH=1.

@@ -67,6 +67,16 @@ class PPOConfig:
     # matmuls in f32, so they are not bitwise-identical to the bf16 XLA
     # path.
     fused_update: str = "auto"
+    # Shuffle the trajectory's time axis before the minibatch split.  Each
+    # minibatch already mixes T_mb frames x 2B env-seats (millions of
+    # near-i.i.d. rows), so the frame-level shuffle adds no measurable
+    # decorrelation at this scale — vs-AI training reaches the same 100%
+    # win rate by update 250 with or without it (artifacts/
+    # fm_vs_ai_training.jsonl vs noshuffle run, 2026-08-17) — while its
+    # gather materializes a full trajectory copy (~1.5 GB at 65536 envs,
+    # ~110 ms/update on v5e, -24% train-step throughput).  Default OFF;
+    # turn on for textbook-PPO epoch semantics.
+    shuffle_minibatches: bool = False
 
 
 class Transition(NamedTuple):
@@ -275,9 +285,10 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
 
         # Minibatch over the time axis: shuffle T, split into chunks.
         key, perm_key = jax.random.split(key)
-        perm = jax.random.permutation(perm_key, cfg.rollout_length)
         batch = (traj, advantages, targets)
-        batch = jax.tree.map(lambda x: x[perm], batch)
+        if cfg.shuffle_minibatches:
+            perm = jax.random.permutation(perm_key, cfg.rollout_length)
+            batch = jax.tree.map(lambda x: x[perm], batch)
 
         # Under a mesh a bare pallas_call would be lowered as an
         # unpartitioned custom call (replicating the minibatch), so the

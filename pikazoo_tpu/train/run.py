@@ -36,8 +36,12 @@ def parse_args(argv=None):
     p.add_argument("--ball-shaping", type=float, nargs=8, default=None,
                    metavar="R", help="RewardByBallPosition 8-tuple")
     p.add_argument("--fused-update", default="auto",
-                   choices=["auto", "on", "off"],
-                   help="Pallas fused minibatch gradient (TPU, single-dev)")
+                   choices=["auto", "on", "fm", "off"],
+                   help="Pallas fused minibatch gradient kernel selection")
+    p.add_argument("--shuffle", action="store_true",
+                   help="textbook-PPO trajectory time-axis shuffle before "
+                        "the minibatch split (costs a full-trajectory "
+                        "gather; no measured quality effect at this scale)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=50)
@@ -80,7 +84,8 @@ def main(argv=None):
                     num_actions=num_actions,
                     learning_rate=args.learning_rate,
                     learner_seats="p1" if args.vs_ai else "both",
-                    fused_update=args.fused_update)
+                    fused_update=args.fused_update,
+                    shuffle_minibatches=args.shuffle)
     init_fn, train_step, _ = make_ppo_trainer(env, cfg, mesh=mesh)
 
     runner = init_fn(jax.random.key(args.seed))
