@@ -124,3 +124,27 @@ def assemble_norm_obs_blocked(p1: PlayerState, p2: PlayerState, b: BallState,
         seat(p1, p2, latch[:, 0], latch[:, 1]),
         seat(p2, p1, latch[:, 1], latch[:, 0]),
     ], axis=0)
+
+
+def assemble_norm_obs_fm(p1: PlayerState, p2: PlayerState, b: BallState,
+                         latch: jnp.ndarray) -> jnp.ndarray:
+    """(35, 2B) bfloat16 normalized mirrored observations, FEATURE-MAJOR.
+
+    Same columns as :func:`assemble_norm_obs_blocked` but stacked on axis 0,
+    so the env batch rides the 128-wide vector lanes: per-action/per-feature
+    reductions downstream become cheap sublane ops instead of padded
+    cross-lane ones, and the layout feeds the feature-major fused PPO
+    gradient kernel with no transpose.  ``assemble_norm_obs_fm(...) ==
+    assemble_norm_obs_blocked(...).T`` exactly (same per-column arithmetic).
+    """
+    def seat(me, opp, latch_me, latch_opp):
+        cols = _player_cols(me, latch_me) + _player_cols(opp, latch_opp) \
+            + _ball_cols(b)
+        normed = [((c.astype(jnp.float32) - _LOW_F[i]) / _SPAN_F[i])
+                  for i, c in enumerate(cols)]
+        return jnp.stack(normed, axis=0).astype(jnp.bfloat16)   # (35, B)
+
+    return jnp.concatenate([
+        seat(p1, p2, latch[:, 0], latch[:, 1]),
+        seat(p2, p1, latch[:, 1], latch[:, 0]),
+    ], axis=1)

@@ -44,6 +44,7 @@ from pikazoo_tpu.core.state import (BallState, PlayerState, SoundEvents,
                                     init_player_construction,
                                     round_init_ball, round_init_player)
 from pikazoo_tpu.envs.observations import (assemble_norm_obs_blocked,
+                                           assemble_norm_obs_fm,
                                            assemble_obs)
 
 SERVE_MODES = ("winner", "alternate", "random")
@@ -344,6 +345,21 @@ class PikaZoo:
         """
         new_state, fr = jax.vmap(self._advance)(state, a1, a2)
         norm_obs = assemble_norm_obs_blocked(
+            new_state.p1, new_state.p2, new_state.ball,
+            new_state.power_hit_key_down_prev)
+        return new_state, norm_obs, fr.reward_p1, fr.game_ended
+
+    def step_batch_learner_fm(self, state: EnvState, a1: jnp.ndarray,
+                              a2: jnp.ndarray
+                              ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray,
+                                         jnp.ndarray]:
+        """Like :meth:`step_batch_learner` but the normalized observations
+        come back FEATURE-MAJOR, (35, 2B) bfloat16 (seat-blocked columns:
+        [0, B) are player 1's view) — the env batch on the vector lanes.
+        This is the layout the PPO rollout and the feature-major fused
+        gradient kernel consume; see ``assemble_norm_obs_fm``."""
+        new_state, fr = jax.vmap(self._advance)(state, a1, a2)
+        norm_obs = assemble_norm_obs_fm(
             new_state.p1, new_state.p2, new_state.ball,
             new_state.power_hit_key_down_prev)
         return new_state, norm_obs, fr.reward_p1, fr.game_ended

@@ -359,9 +359,9 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
     """Feature-major fused PPO minibatch gradient.
 
     Same contract as :func:`fused_ppo_grads` but the minibatch keeps its
-    (T, 2B) shape: ``obs`` is (T, 2B, F) bf16 pre-normalized (transposed
-    once here to (T, F, 2B) — one cheap HBM pass), the per-row arrays are
-    (T, 2B).  Returns ``(grads, losses)`` identically.
+    (T, 2B) shape: ``obs`` is (T, F, 2B) bf16 pre-normalized FEATURE-MAJOR
+    (the layout the rollout's ``step_batch_learner_fm`` emits), the per-row
+    arrays are (T, 2B).  Returns ``(grads, losses)`` identically.
     """
     dense = params["params"]
     names = sorted(dense.keys(), key=lambda s: int(s.rsplit("_", 1)[1]))
@@ -369,12 +369,12 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
     w = [dense[n]["kernel"] for n in names]
     b = [dense[n]["bias"] for n in names]
     t_mb, b2 = action.shape
-    f = obs.shape[-1]
+    f = obs.shape[1]
     ft = _pick_tile(t_mb, _FM_FT, floor=1)
     c = _pick_tile(b2, _FM_COLS, floor=128)
     inv_m = 1.0 / (total_rows or t_mb * b2)
 
-    obs_fm = jnp.swapaxes(obs.astype(jnp.bfloat16), 1, 2)  # (T, F, 2B)
+    obs_fm = obs.astype(jnp.bfloat16)                      # (T, F, 2B)
     sc = lambda a: a.astype(jnp.float32)
     w_b = [x.astype(jnp.bfloat16) for x in w]
     b_c = [x.astype(jnp.float32).reshape(-1, 1) for x in b]  # (F_out, 1)

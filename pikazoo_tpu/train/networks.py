@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,3 +63,36 @@ class ActorCritic(nn.Module):
                          bias_init=nn.initializers.zeros)(x)
         return logits.astype(jnp.float32), \
             jnp.squeeze(value, -1).astype(jnp.float32)
+
+
+def apply_fm(params, x_fm: jnp.ndarray, activation: str = "tanh"
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FEATURE-MAJOR forward pass: ``x_fm`` (F, N) normalized bf16 ->
+    ``(logits (A, N) f32, value (N,) f32)``.
+
+    Same parameters and same bf16-operand/f32-accumulate arithmetic as
+    ``ActorCritic.__call__`` but every matmul runs transposed
+    (``h = act(W^T x)``), keeping the batch on the 128-wide vector lanes so
+    per-action reductions downstream (softmax, sampling, log-prob select)
+    are cheap sublane ops instead of padded cross-lane ones.  This is the
+    rollout-side complement of ``fused_update.fused_ppo_grads_fm``.
+    """
+    dense = params["params"]
+    names = sorted(dense, key=lambda s: int(s.rsplit("_", 1)[1]))
+    bf, f32 = jnp.bfloat16, jnp.float32
+    c00 = (((0,), (0,)), ((), ()))  # contract the input-feature dims
+    h = x_fm.astype(bf)
+    for n in names[:-2]:
+        pre = jax.lax.dot_general(dense[n]["kernel"].astype(bf), h, c00,
+                                  preferred_element_type=bf) \
+            + dense[n]["bias"].astype(bf)[:, None]
+        h = jnp.maximum(pre, 0) if activation == "relu" else jnp.tanh(pre)
+    wp, bp = dense[names[-2]]["kernel"], dense[names[-2]]["bias"]
+    wv, bv = dense[names[-1]]["kernel"], dense[names[-1]]["bias"]
+    logits = jax.lax.dot_general(wp.astype(bf), h, c00,
+                                 preferred_element_type=bf) \
+        + bp.astype(bf)[:, None]
+    value = jax.lax.dot_general(wv.astype(bf), h, c00,
+                                preferred_element_type=bf) \
+        + bv.astype(bf)[:, None]
+    return logits.astype(f32), value[0].astype(f32)

@@ -87,7 +87,9 @@ class Transition(NamedTuple):
     trailing seat axis of 2 would pad every materialized learner buffer up
     to 64x — folding it is what lets the update phase run at memory speed."""
 
-    obs: jnp.ndarray       # (2B, 35) normalized bfloat16 (see networks.py)
+    obs: jnp.ndarray       # (35, 2B) normalized bfloat16, FEATURE-MAJOR
+                           # (env batch on the vector lanes; fed unchanged
+                           # to the feature-major fused gradient kernel)
     action: jnp.ndarray    # (2B,)
     log_prob: jnp.ndarray  # (2B,)
     value: jnp.ndarray     # (2B,)
@@ -152,11 +154,34 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
                               jnp.int32(0))
 
     # ------------------------------------------------------------- rollout --
-    def policy_sample(params, norm_obs, key):
-        # (2B, A), (2B,) from pre-normalized, seat-flattened bf16 obs.
-        logits, value = network.apply(params, norm_obs, pre_normalized=True)
-        action = jax.random.categorical(key, logits)
-        log_prob = _select_log_prob(jax.nn.log_softmax(logits), action)
+    def policy_sample(params, norm_obs_fm, key):
+        # FEATURE-MAJOR policy step: obs (F, 2B) -> logits (A, 2B), so all
+        # per-action math (softmax, sampling, log-prob select) reduces over
+        # the SUBLANE axis.  The row-major layout put A=18 on the 128-wide
+        # lanes — its padded cross-lane argmax alone was 27 ms of a 50 ms
+        # rollout in the device profile.
+        from pikazoo_tpu.train.networks import apply_fm
+
+        logits, value = apply_fm(params, norm_obs_fm,
+                                 activation=cfg.activation)
+        log_probs = jax.nn.log_softmax(logits, axis=0)     # (A, 2B)
+        # Inverse-CDF sampling with ONE uniform per column instead of
+        # jax.random.categorical's (A, 2B) gumbel tensor (18x the bits).
+        p = jnp.exp(log_probs.astype(jnp.float32))
+        # Prefix-sum over the A=18 sublanes as a tiny triangular matmul:
+        # jnp.cumsum lowers to reduce-window (12 ms/rollout in the device
+        # profile); the (A, A) @ (A, 2B) dot rides the MXU instead.
+        tri = jnp.tril(jnp.ones((cfg.num_actions, cfg.num_actions),
+                                jnp.float32))
+        cdf = jax.lax.dot_general(tri, p, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        u = jax.random.uniform(key, (1, norm_obs_fm.shape[1]), jnp.float32)
+        # Scale by the column total (~1.0) so bf16 rounding in the logits
+        # can never push u past the last bucket.
+        action = jnp.sum(cdf < u * cdf[-1:, :], axis=0)
+        one_hot = (jax.lax.broadcasted_iota(jnp.int32, log_probs.shape, 0)
+                   == action[None, :]).astype(log_probs.dtype)
+        log_prob = (log_probs * one_hot).sum(axis=0)       # (2B,)
         return action.astype(jnp.int32), log_prob, value
 
     def rollout(params, env_state, obs, key):
@@ -170,16 +195,16 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
         # that twice per frame (assembly write + normalize read).
         num_envs = obs.shape[0]
         norm0 = jnp.concatenate(
-            [normalize_obs(obs[:, 0]), normalize_obs(obs[:, 1])],
-            axis=0).astype(jnp.bfloat16)
+            [normalize_obs(obs[:, 0]).T, normalize_obs(obs[:, 1]).T],
+            axis=1).astype(jnp.bfloat16)                   # (35, 2B)
 
         def step(carry, _):
             env_state, norm_obs, key = carry
             key, akey = jax.random.split(key)
             action, log_prob, value = policy_sample(params, norm_obs, akey)
             env_state, next_norm, reward1, terminated = \
-                env.step_batch_learner(env_state, action[:num_envs],
-                                       action[num_envs:])
+                env.step_batch_learner_fm(env_state, action[:num_envs],
+                                          action[num_envs:])
             done = (terminated == 1).astype(jnp.float32)
             reward1 = reward1.astype(jnp.float32)
             tr = Transition(obs=norm_obs, action=action, log_prob=log_prob,
@@ -237,7 +262,12 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
         return (log_probs * one_hot).sum(-1)
 
     def loss_fn(params, batch: Transition, advantages, targets):
-        logits, value = network.apply(params, batch.obs, pre_normalized=True)
+        # batch.obs is feature-major (..., 35, 2B); the flax module wants
+        # the feature dim minor.  This path only runs with fused_update
+        # off (CPU tests / explicit opt-out), so the transpose is fine.
+        logits, value = network.apply(params,
+                                      jnp.swapaxes(batch.obs, -2, -1),
+                                      pre_normalized=True)
         log_probs = jax.nn.log_softmax(logits)
         log_prob = _select_log_prob(log_probs, batch.action)
         ratio = jnp.exp(log_prob - batch.log_prob)
@@ -270,15 +300,18 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
             env_state.p1, env_state.p2, env_state.ball,
             env_state.power_hit_key_down_prev)
 
-        _, last_value = network.apply(runner.params, last_norm,
-                                      pre_normalized=True)  # (2B,)
+        from pikazoo_tpu.train.networks import apply_fm
+        _, last_value = apply_fm(runner.params, last_norm,
+                                 activation=cfg.activation)  # (2B,)
         advantages, targets = compute_gae(traj, last_value)
 
         if cfg.learner_seats == "p1":
             # Keep only seat 1's trajectory for the update phase (seat-
-            # BLOCKED flat layout: seat 1 is the first half of the rows).
+            # BLOCKED flat layout: seat 1 is the first half of the env
+            # axis, which is the LAST dim of every leaf — (T, 2B) scalars
+            # and (T, 35, 2B) feature-major obs alike).
             def seat(x):
-                return x[:, :x.shape[1] // 2]
+                return x[..., :x.shape[-1] // 2]
 
             traj = Transition(*[seat(leaf) for leaf in traj])
             advantages, targets = seat(advantages), seat(targets)
@@ -323,13 +356,19 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
             data = (mtraj.obs, mtraj.action, mtraj.log_prob, mtraj.value,
                     adv_n, mtarget)
             total_rows = mtraj.action.shape[0] * mtraj.action.shape[1]
+            # obs is feature-major (T_mb, F, 2B); the row-major kernel and
+            # its (M, F) flatten need it transposed back first.
+            def rm_flat(leaves):
+                obs = jnp.swapaxes(leaves[0], 1, 2)
+                flat = lambda x: x.reshape(-1, *x.shape[2:])
+                return tuple(map(flat, (obs,) + leaves[1:]))
+
             if mesh is None:
                 if fused_fm:
-                    # Feature-major path keeps the (T_mb, 2B) minibatch
-                    # shape; the kernel grids over frames x env columns.
+                    # Feature-major path consumes the minibatch as-is; the
+                    # kernel grids over frames x env columns.
                     return fused_ppo_grads_fm(params, *data, **kw)
-                flat = lambda x: x.reshape(-1, *x.shape[2:])
-                return fused_ppo_grads(params, *map(flat, data), **kw)
+                return fused_ppo_grads(params, *rm_flat(data), **kw)
 
             # Mesh path: the learner-batch axis (dim 1 of every (T_mb, 2B,
             # ...) leaf) is sharded; flatten LOCALLY inside shard_map (a
@@ -344,15 +383,16 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
                     grads, losses = fused_ppo_grads_fm(
                         p, *leaves, total_rows=total_rows, **kw)
                 else:
-                    flat = lambda x: x.reshape(-1, *x.shape[2:])
                     grads, losses = fused_ppo_grads(
-                        p, *map(flat, leaves), total_rows=total_rows, **kw)
+                        p, *rm_flat(leaves), total_rows=total_rows, **kw)
                 grads = jax.tree.map(lambda x: jax.lax.psum(x, axis), grads)
                 return grads, jax.lax.psum(losses, axis)
 
+            # Every leaf shards its trailing env axis: (T_mb, 2B) scalars on
+            # dim 1, the feature-major (T_mb, F, 2B) obs on dim 2.
             return jax.shard_map(
                 local_grads, mesh=mesh,
-                in_specs=(P(),) + (P(None, axis),) * 6,
+                in_specs=(P(), P(None, None, axis)) + (P(None, axis),) * 5,
                 out_specs=(P(), P()),
                 check_vma=False)(params, *data)
 

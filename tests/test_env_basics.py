@@ -206,3 +206,32 @@ def test_step_batch_learner_matches_step_batch():
                                       np.asarray(ts.rewards[:, 0]))
         np.testing.assert_array_equal(np.asarray(terminated),
                                       np.asarray(ts.terminated))
+
+
+def test_step_batch_learner_fm_is_transpose():
+    """The feature-major learner path is exactly the blocked path's obs
+    transposed, with identical state/reward/termination evolution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    B = 16
+    state_a, _ = env.reset_batch(jax.random.key(5), B)
+    state_b = state_a
+    key = jax.random.key(6)
+    for _ in range(40):
+        key, sub = jax.random.split(key)
+        acts = jax.random.randint(sub, (B, 2), 0, 18, jnp.int32)
+        state_a, blocked, r_a, t_a = env.step_batch_learner(
+            state_a, acts[:, 0], acts[:, 1])
+        state_b, fm, r_b, t_b = env.step_batch_learner_fm(
+            state_b, acts[:, 0], acts[:, 1])
+        assert fm.shape == (35, 2 * B) and fm.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(fm), np.asarray(blocked).T)
+        np.testing.assert_array_equal(np.asarray(r_a), np.asarray(r_b))
+        np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+        for la, lb in zip(jax.tree.leaves(state_a), jax.tree.leaves(state_b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -210,14 +210,15 @@ def test_train_step_fused_mesh_matches_single():
 # Feature-major variant (fused_ppo_grads_fm): same math, transposed layout.
 
 def _fm_shape(x):
-    """(M, ...) row-major test inputs -> (T, B2, ...) feature-major shape."""
+    """(M, ...) row-major test inputs -> (T, B2) feature-major shape."""
     return x.reshape(4, M // 4, *x.shape[1:])
 
 
 def _fused_fm(params, obs, action, logp_old, value_old, adv_n, target):
     from pikazoo_tpu.train.fused_update import fused_ppo_grads_fm
+    obs_fm = jnp.swapaxes(_fm_shape(obs), 1, 2)            # (T, F, B2)
     return fused_ppo_grads_fm(
-        params, _fm_shape(obs), _fm_shape(action), _fm_shape(logp_old),
+        params, obs_fm, _fm_shape(action), _fm_shape(logp_old),
         _fm_shape(value_old), _fm_shape(adv_n), _fm_shape(target),
         num_actions=A, activation="tanh", clip_eps=CLIP, value_coef=VCOEF,
         entropy_coef=ECOEF, interpret=True)

@@ -136,3 +136,44 @@ def test_associative_gae_matches_sequential():
     cfg = PPOConfig(num_envs=n // 2, rollout_length=T, gamma=gamma,
                     gae_lambda=lam, hidden=(16,))
     make_ppo_trainer(env, cfg)  # smoke: trainer builds with 1 hidden layer
+
+
+def test_inverse_cdf_sampling_distribution():
+    """The one-uniform CDF walk samples the same distribution as
+    jax.random.categorical (which burns a (2B, A) gumbel tensor)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    logits = jnp.asarray([[2.0, 0.0, -1.0, 0.5] * 2] * 1, jnp.float32)
+    logits = jnp.tile(logits, (200_000, 1))                # (N, 8)
+    log_probs = jax.nn.log_softmax(logits)
+    p = jnp.exp(log_probs.astype(jnp.float32))
+    cdf = jnp.cumsum(p, axis=-1)
+    u = jax.random.uniform(jax.random.key(0), (logits.shape[0], 1),
+                           jnp.float32)
+    action = np.asarray(jnp.sum(cdf < u * cdf[:, -1:], axis=-1))
+    counts = np.bincount(action, minlength=8) / action.shape[0]
+    expect = np.asarray(p[0]) / float(np.asarray(cdf[0, -1]))
+    np.testing.assert_allclose(counts, expect, atol=0.004)
+    assert action.min() >= 0 and action.max() < 8
+
+
+def test_apply_fm_matches_module_apply():
+    """Feature-major forward == flax module forward (same bf16 operands;
+    only MXU accumulation order differs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pikazoo_tpu.train.networks import ActorCritic, apply_fm
+
+    net = ActorCritic(num_actions=18, hidden=(32, 32))
+    params = net.init(jax.random.key(0), jnp.zeros((4, 35), jnp.int32))
+    x = jax.random.uniform(jax.random.key(1), (512, 35)).astype(jnp.bfloat16)
+    logits_rm, value_rm = net.apply(params, x, pre_normalized=True)
+    logits_fm, value_fm = apply_fm(params, x.T)
+    np.testing.assert_allclose(np.asarray(logits_fm), np.asarray(logits_rm).T,
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(value_fm), np.asarray(value_rm),
+                               rtol=1e-2, atol=1e-2)
