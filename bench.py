@@ -161,13 +161,19 @@ def measure_fused(batch: int, steps: int, iters: int, computer: bool) -> float:
     def call(st):
         return fused_rollout(st, akey, cfg, steps)
 
-    dt = _time_calls(call, state, iters)
-    # Proof of work: every env advanced exactly (1 + iters) * steps frames.
-    final = call(state)
+    # Time the chain and keep its final state so the proof of work rides the
+    # SAME rollouts (re-running the workload untimed would double the rung's
+    # cost inside the hard bench budget).
+    base = np.asarray(state.step_count)
+    final = call(state)  # compile, not timed
+    jax.block_until_ready(final)
+    t0 = time.perf_counter()
     for _ in range(iters):
         final = call(final)
-    sc = np.asarray(jax.block_until_ready(final.step_count))
-    base = np.asarray(state.step_count)
+    jax.block_until_ready(final)
+    dt = time.perf_counter() - t0
+    # Proof of work: every env advanced exactly (1 + iters) * steps frames.
+    sc = np.asarray(final.step_count)
     expect = (1 + iters) * steps
     assert (sc - base == expect).all(), \
         f"fused kernel frame-count proof failed: {sc - base} != {expect}"
@@ -335,6 +341,8 @@ _CONFIGS = {
 
 
 def _run_direct(args) -> None:
+    if args.iters is None:
+        args.iters = 3
     fn, metric, baseline = _CONFIGS[args.config]
     _emit(_mk(metric, fn(args), baseline))
 
@@ -364,16 +372,20 @@ def _await_device_health(max_wait_s: float) -> bool:
         time.sleep(15)
 
 
-def _attempt(rung: dict, iters_default: int) -> dict | None:
-    """Run one rung in a killable child; returns its parsed JSON or None."""
+def _attempt(rung: dict, iters_override: int | None) -> dict | None:
+    """Run one rung in a killable child; returns its parsed JSON or None.
+    An explicit ``--iters`` on the orchestrator overrides every rung's own
+    iteration count (so a tight driver timeout can shorten all rungs)."""
     timeout = min(300.0, _remaining() - _EXIT_RESERVE_S)
     if timeout < 45:
         return None
+    iters = iters_override if iters_override is not None \
+        else rung.get("iters", 3)
     cmd = [sys.executable, os.path.abspath(__file__),
            "--config", rung["config"],
            "--batch", str(rung.get("batch", 1)),
            "--steps", str(rung.get("steps", 200)),
-           "--iters", str(rung.get("iters", iters_default))]
+           "--iters", str(iters)]
     try:
         out = subprocess.run(cmd, timeout=timeout, capture_output=True,
                              text=True)
@@ -388,10 +400,18 @@ def _attempt(rung: dict, iters_default: int) -> dict | None:
 
 class _Best:
     """Best-so-far tracker that prints to stdout on every improvement and can
-    re-emit from a signal handler."""
+    re-emit from a signal handler.  The fallback metric/baseline must match
+    the orchestration being run (a failed --ppo run must report a zero
+    AGAINST THE PPO METRIC, not corrupt the config-4 headline series)."""
 
     def __init__(self):
         self.result = None
+        self.fallback_metric = HEADLINE_METRIC
+        self.fallback_baseline = REFERENCE_CPU_STEPS_PER_S
+
+    def set_fallback(self, metric: str, baseline: float) -> None:
+        self.fallback_metric = metric
+        self.fallback_baseline = baseline
 
     def offer(self, result: dict | None) -> None:
         if result is None:
@@ -404,7 +424,7 @@ class _Best:
         if self.result is not None:
             _emit(self.result)
         else:
-            _emit(_mk(HEADLINE_METRIC, 0.0, REFERENCE_CPU_STEPS_PER_S))
+            _emit(_mk(self.fallback_metric, 0.0, self.fallback_baseline))
 
 
 _BEST = _Best()
@@ -469,7 +489,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=262_144)
     parser.add_argument("--steps", type=int, default=1000)
-    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--iters", type=int, default=None,
+                        help="timed iterations; in orchestrated modes an "
+                             "explicit value overrides every rung's own "
+                             "count (direct --config runs default to 3)")
     parser.add_argument("--all", action="store_true",
                         help="measure all five BASELINE configs")
     parser.add_argument("--computer", action="store_true",
@@ -485,18 +508,26 @@ def main():
         _orchestrate_all(args)
     elif args.computer:
         signal.signal(signal.SIGTERM, _sig_handler)
+        _BEST.set_fallback("env_steps_per_s_aggregate_1chip_computer_ai",
+                           REFERENCE_CPU_STEPS_PER_S_AI)
         _await_device_health(90)
-        for rung in [dict(config="computer", batch=16_384, steps=200, iters=2),
-                     dict(config="computer", batch=65_536, steps=500,
-                          iters=2),
-                     dict(config="fused_computer", batch=262_144, steps=1000,
-                          iters=3)]:
+        rungs = [dict(config="computer", batch=16_384, steps=200, iters=2),
+                 dict(config="computer", batch=65_536, steps=500, iters=2)]
+        if os.environ.get("PIKAZOO_BENCH_FUSED", "0") == "1":
+            # The fused VMEM kernel measured ~67x slower than the scanned
+            # path (see _DEFAULT_RUNGS note); only worth budget when
+            # explicitly requested.
+            rungs.append(dict(config="fused_computer", batch=262_144,
+                              steps=1000, iters=3))
+        for rung in rungs:
             if _remaining() < 60:
                 break
             _BEST.offer(_attempt(rung, args.iters))
         _BEST.emit_final()
     elif args.ppo:
         signal.signal(signal.SIGTERM, _sig_handler)
+        _BEST.set_fallback("ppo_env_steps_per_s_full_train_step_1chip",
+                           REFERENCE_CPU_STEPS_PER_S)
         _await_device_health(90)
         _BEST.offer(_attempt(dict(config="ppo", batch=65_536, iters=3),
                              args.iters))

@@ -193,6 +193,22 @@ def _pick_rows(m: int) -> int:
     return m
 
 
+def _pack_grads(names, L, outs) -> Tuple[Dict[str, Any], Any]:
+    """Kernel output list -> (grads pytree matching the params, loss sums).
+
+    ``outs`` is [dw_0..dw_{L-1}, db_0..db_{L-1}, dwp, dbp, dwv, dbv, sums]
+    with biases shaped (1, H) or (H, 1) — flattened back to (H,)."""
+    dw = list(outs[:L])
+    db = [x.reshape(-1) for x in outs[L:2 * L]]
+    dwp, dbp, dwv, dbv, sums = outs[2 * L:]
+    grads_dense = {}
+    for i, n in enumerate(names[:L]):
+        grads_dense[n] = {"kernel": dw[i], "bias": db[i]}
+    grads_dense[names[L]] = {"kernel": dwp, "bias": dbp.reshape(-1)}
+    grads_dense[names[L + 1]] = {"kernel": dwv, "bias": dbv.reshape(-1)}
+    return {"params": grads_dense}, sums
+
+
 # ---------------------------------------------------------------------------
 # FEATURE-MAJOR variant.  The row-major kernel above ships every per-row
 # scalar as a (G, R, 1) block whose trailing 1-lane dim pads 128x in HBM; at
@@ -363,11 +379,9 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
     (the layout the rollout's ``step_batch_learner_fm`` emits), the per-row
     arrays are (T, 2B).  Returns ``(grads, losses)`` identically.
     """
-    dense = params["params"]
-    names = sorted(dense.keys(), key=lambda s: int(s.rsplit("_", 1)[1]))
-    L = len(names) - 2
-    w = [dense[n]["kernel"] for n in names]
-    b = [dense[n]["bias"] for n in names]
+    from pikazoo_tpu.train.networks import dense_layers
+
+    names, L, w, b = dense_layers(params)
     t_mb, b2 = action.shape
     f = obs.shape[1]
     ft = _pick_tile(t_mb, _FM_FT, floor=1)
@@ -418,15 +432,7 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
       sc(adv_norm), sc(target), *w_b[:L], *b_c[:L], w_b[L], b_c[L],
       w_b[L + 1], b_c[L + 1])
 
-    dw = list(outs[:L])
-    db = [x.reshape(-1) for x in outs[L:2 * L]]
-    dwp, dbp, dwv, dbv, sums = outs[2 * L:]
-    grads_dense = {}
-    for i, n in enumerate(names[:L]):
-        grads_dense[n] = {"kernel": dw[i], "bias": db[i]}
-    grads_dense[names[L]] = {"kernel": dwp, "bias": dbp.reshape(-1)}
-    grads_dense[names[L + 1]] = {"kernel": dwv, "bias": dbv.reshape(-1)}
-    grads = {"params": grads_dense}
+    grads, sums = _pack_grads(names, L, outs)
 
     policy_loss = sums[0, 0] * inv_m
     value_loss = sums[0, 1] * inv_m
@@ -462,11 +468,9 @@ def fused_ppo_grads(params: Dict[str, Any], obs: jnp.ndarray,
     Returns ``(grads, losses)`` with ``grads`` matching the params pytree
     and ``losses = [total, policy, value, entropy, approx_kl]`` (means).
     """
-    dense = params["params"]
-    names = sorted(dense.keys(), key=lambda s: int(s.rsplit("_", 1)[1]))
-    L = len(names) - 2
-    w = [dense[n]["kernel"] for n in names]
-    b = [dense[n]["bias"] for n in names]
+    from pikazoo_tpu.train.networks import dense_layers
+
+    names, L, w, b = dense_layers(params)
     m_rows = obs.shape[0]
     r = _pick_rows(m_rows)
     g = m_rows // r
@@ -521,15 +525,7 @@ def fused_ppo_grads(params: Dict[str, Any], obs: jnp.ndarray,
       row(target), *w_b[:L], *b_f[:L], w_b[L], b_f[L], w_b[L + 1],
       b_f[L + 1])
 
-    dw = list(outs[:L])
-    db = [x.reshape(-1) for x in outs[L:2 * L]]
-    dwp, dbp, dwv, dbv, sums = outs[2 * L:]
-    grads_dense = {}
-    for i, n in enumerate(names[:L]):
-        grads_dense[n] = {"kernel": dw[i], "bias": db[i]}
-    grads_dense[names[L]] = {"kernel": dwp, "bias": dbp.reshape(-1)}
-    grads_dense[names[L + 1]] = {"kernel": dwv, "bias": dbv.reshape(-1)}
-    grads = {"params": grads_dense}
+    grads, sums = _pack_grads(names, L, outs)
 
     policy_loss = sums[0, 0] * inv_m
     value_loss = sums[0, 1] * inv_m

@@ -65,6 +65,21 @@ class ActorCritic(nn.Module):
             jnp.squeeze(value, -1).astype(jnp.float32)
 
 
+def dense_layers(params):
+    """ActorCritic layer-ordering contract, in one place: returns
+    ``(names, L, kernels, biases)`` where the first L entries are the hidden
+    layers in creation order, entry L is the policy head and entry L+1 the
+    value head (flax names Dense_0..Dense_{L+1} in ``__call__`` order).
+    Shared by the feature-major forward pass and both fused gradient
+    kernels so a renaming/reordering of the module breaks one helper, not
+    three transcriptions."""
+    dense = params["params"]
+    names = sorted(dense, key=lambda s: int(s.rsplit("_", 1)[1]))
+    w = [dense[n]["kernel"] for n in names]
+    b = [dense[n]["bias"] for n in names]
+    return names, len(names) - 2, w, b
+
+
 def apply_fm(params, x_fm: jnp.ndarray, activation: str = "tanh"
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FEATURE-MAJOR forward pass: ``x_fm`` (F, N) normalized bf16 ->
@@ -77,22 +92,19 @@ def apply_fm(params, x_fm: jnp.ndarray, activation: str = "tanh"
     are cheap sublane ops instead of padded cross-lane ones.  This is the
     rollout-side complement of ``fused_update.fused_ppo_grads_fm``.
     """
-    dense = params["params"]
-    names = sorted(dense, key=lambda s: int(s.rsplit("_", 1)[1]))
+    _, L, w, b = dense_layers(params)
     bf, f32 = jnp.bfloat16, jnp.float32
     c00 = (((0,), (0,)), ((), ()))  # contract the input-feature dims
     h = x_fm.astype(bf)
-    for n in names[:-2]:
-        pre = jax.lax.dot_general(dense[n]["kernel"].astype(bf), h, c00,
+    for l in range(L):
+        pre = jax.lax.dot_general(w[l].astype(bf), h, c00,
                                   preferred_element_type=bf) \
-            + dense[n]["bias"].astype(bf)[:, None]
+            + b[l].astype(bf)[:, None]
         h = jnp.maximum(pre, 0) if activation == "relu" else jnp.tanh(pre)
-    wp, bp = dense[names[-2]]["kernel"], dense[names[-2]]["bias"]
-    wv, bv = dense[names[-1]]["kernel"], dense[names[-1]]["bias"]
-    logits = jax.lax.dot_general(wp.astype(bf), h, c00,
+    logits = jax.lax.dot_general(w[L].astype(bf), h, c00,
                                  preferred_element_type=bf) \
-        + bp.astype(bf)[:, None]
-    value = jax.lax.dot_general(wv.astype(bf), h, c00,
+        + b[L].astype(bf)[:, None]
+    value = jax.lax.dot_general(w[L + 1].astype(bf), h, c00,
                                 preferred_element_type=bf) \
-        + bv.astype(bf)[:, None]
+        + b[L + 1].astype(bf)[:, None]
     return logits.astype(f32), value[0].astype(f32)

@@ -117,6 +117,39 @@ class TrainMetrics(NamedTuple):
     env_steps: jnp.ndarray
 
 
+def gae_associative(value: jnp.ndarray, reward: jnp.ndarray,
+                    done: jnp.ndarray, last_value: jnp.ndarray,
+                    gamma: float, lam: float
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GAE advantages/targets over leading time axis T.
+
+    GAE is the first-order linear recurrence
+      ``gae_t = delta_t + (gamma * lam * not_done_t) * gae_{t+1}``,
+    evaluated with an ASSOCIATIVE scan: a sequential lax.scan issues T tiny
+    kernels over the (2B,) learner batch (measured ~100 ms of the train step
+    at T=128, B=65536); the associative form is O(log T) full-buffer passes
+    (~ms).  Float reassociation makes it differ from the sequential scan
+    only at rounding level (tested to 1e-5 in test_train_ppo.py, which
+    exercises THIS function)."""
+    not_done = 1.0 - done                                  # (T, 2B)
+    next_value = jnp.concatenate([value[1:], last_value[None]], axis=0)
+    delta = reward + gamma * next_value * not_done - value
+    coef = gamma * lam * not_done
+    # Last element's recurrence term is gae_{T} = 0, so coef_T is unused;
+    # flip to run the suffix recurrence as a prefix scan.
+    a = jnp.flip(coef, axis=0)
+    b = jnp.flip(delta, axis=0)
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_l * a_r, a_r * b_l + b_r
+
+    _, y = jax.lax.associative_scan(combine, (a, b), axis=0)
+    advantages = jnp.flip(y, axis=0)
+    return advantages, advantages + value
+
+
 def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
                      mesh: Optional[Mesh] = None):
     """Build ``(init_fn, train_step_fn, network)``.
@@ -224,32 +257,8 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
 
     # ----------------------------------------------------------------- GAE --
     def compute_gae(traj: Transition, last_value: jnp.ndarray):
-        # GAE is the first-order linear recurrence
-        #   gae_t = delta_t + (gamma * lam * not_done_t) * gae_{t+1},
-        # evaluated with an ASSOCIATIVE scan: a sequential lax.scan issues T
-        # tiny kernels over the (2B,) learner batch (measured ~100 ms of the
-        # train step at T=128, B=65536); the associative form is O(log T)
-        # full-buffer passes (~ms).  Float reassociation makes it differ
-        # from the sequential scan only at rounding level (tested to 1e-5).
-        not_done = 1.0 - traj.done                         # (T, 2B)
-        next_value = jnp.concatenate(
-            [traj.value[1:], last_value[None]], axis=0)
-        delta = (traj.reward + cfg.gamma * next_value * not_done
-                 - traj.value)
-        coef = cfg.gamma * cfg.gae_lambda * not_done
-        # Last element's recurrence term is gae_{T} = 0, so coef_T is unused;
-        # flip to run the suffix recurrence as a prefix scan.
-        a = jnp.flip(coef, axis=0)
-        b = jnp.flip(delta, axis=0)
-
-        def combine(left, right):
-            a_l, b_l = left
-            a_r, b_r = right
-            return a_l * a_r, a_r * b_l + b_r
-
-        _, y = jax.lax.associative_scan(combine, (a, b), axis=0)
-        advantages = jnp.flip(y, axis=0)
-        return advantages, advantages + traj.value
+        return gae_associative(traj.value, traj.reward, traj.done,
+                               last_value, cfg.gamma, cfg.gae_lambda)
 
     # ---------------------------------------------------------------- loss --
     def _select_log_prob(log_probs, action):
@@ -296,6 +305,10 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
 
         # Raw-obs view of the final state for PPORunnerState.last_obs (one
         # assembly per train step; the rollout itself never builds it).
+        # Carrying the (35, 2B) bf16 last_norm in the runner instead would
+        # also skip the next rollout's re-normalization (~1 ms/step), but
+        # it changes the checkpoint pytree and breaks restore of existing
+        # artifacts — deliberately not done.
         last_obs = jax.vmap(assemble_obs)(
             env_state.p1, env_state.p2, env_state.ball,
             env_state.power_hit_key_down_prev)

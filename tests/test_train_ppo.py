@@ -114,28 +114,17 @@ def test_associative_gae_matches_sequential():
         carry, g = seq(carry, t)
         gae_ref[t] = np.asarray(g)
 
-    a = jnp.flip(coef, axis=0)
-    b = jnp.flip(delta, axis=0)
+    # The PRODUCTION implementation (what the trainer's compute_gae calls),
+    # not a local transcription of it.
+    from pikazoo_tpu.train.ppo import gae_associative
 
-    def combine(left, right):
-        a_l, b_l = left
-        a_r, b_r = right
-        return a_l * a_r, a_r * b_l + b_r
-
-    _, y = jax.lax.associative_scan(combine, (a, b), axis=0)
-    adv = np.asarray(jnp.flip(y, axis=0))
-    np.testing.assert_allclose(adv, gae_ref, rtol=1e-5, atol=1e-5)
-
-    # And through the trainer's own compute_gae (via a train step's jaxpr is
-    # overkill): drive it directly with a Transition built from these arrays.
-    from pikazoo_tpu.envs import EnvConfig, PikaZoo
-    from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
-    from pikazoo_tpu.train import ppo as ppo_mod
-
-    env = PikaZoo(EnvConfig(auto_reset=True))
-    cfg = PPOConfig(num_envs=n // 2, rollout_length=T, gamma=gamma,
-                    gae_lambda=lam, hidden=(16,))
-    make_ppo_trainer(env, cfg)  # smoke: trainer builds with 1 hidden layer
+    adv, targets = gae_associative(value, reward, done, last_value,
+                                   gamma, lam)
+    np.testing.assert_allclose(np.asarray(adv), gae_ref, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(targets),
+                               gae_ref + np.asarray(value), rtol=1e-5,
+                               atol=1e-5)
 
 
 def test_inverse_cdf_sampling_distribution():

@@ -101,7 +101,17 @@ def run_rung(num_processes: int, args, port: int) -> dict | None:
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             text=True))
-    outs = [p.communicate(timeout=args.timeout)[0] for p in procs]
+    # A hung child (e.g. its peer died before jax.distributed.initialize so
+    # it waits on the coordinator forever) must fail THIS rung, not crash
+    # the ladder and orphan the remaining children.
+    try:
+        outs = [p.communicate(timeout=args.timeout)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        return None
     if any(p.returncode != 0 for p in procs):
         return None
     for out in outs:
