@@ -7,6 +7,7 @@ v5e pod slice runs, SURVEY N3/N4):
 
     python tools/multihost_scale.py                 # 1 and 2 "hosts"
     python tools/multihost_scale.py --procs 1 2 4   # custom ladder
+    python tools/multihost_scale.py --mode ppo      # full PPO train step
 
 On a real multi-host slice, run the child directly on every host with
 ``--real`` (coordinator/process-id come from the TPU environment):
@@ -33,7 +34,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def child(process_id: int, num_processes: int, port: int,
           devices_per_proc: int, batch_per_device: int, steps: int,
-          real: bool) -> None:
+          real: bool, mode: str = "env") -> None:
     if not real:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
@@ -60,6 +61,36 @@ def child(process_id: int, num_processes: int, port: int,
     batch = batch_per_device * len(devices)
 
     env = PikaZoo(EnvConfig(auto_reset=True))
+
+    if mode == "ppo":
+        # Full actor-learner train step over the mesh (config-5 shape):
+        # env-axis-sharded rollout, psum'd minibatch gradients.
+        from pikazoo_tpu.parallel import env_sharding
+        from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
+
+        cfg = PPOConfig(num_envs=batch, rollout_length=max(steps, 8),
+                        num_minibatches=2, update_epochs=2, hidden=(64, 64))
+        init_fn, train_step, _ = make_ppo_trainer(env, cfg, mesh=mesh)
+        runner = init_fn(jax.random.key(0))
+        runner = runner._replace(
+            env_state=shard_batch(runner.env_state, mesh),
+            last_obs=jax.device_put(runner.last_obs, env_sharding(mesh)))
+        step = jax.jit(train_step, donate_argnums=0)
+        runner, metrics = step(runner)  # compile
+        jax.block_until_ready(metrics.total_loss)
+        t0 = time.perf_counter()
+        runner, metrics = step(runner)
+        jax.block_until_ready(metrics.total_loss)
+        dt = time.perf_counter() - t0
+        if jax.process_index() == 0:
+            print(json.dumps({
+                "procs": jax.process_count(),
+                "devices": len(devices),
+                "batch": batch,
+                "steps_per_s": round(batch * cfg.rollout_length / dt),
+            }), flush=True)
+        return
+
     state, _ = env.reset_batch(jax.random.key(0), batch)
     state = shard_batch(state, mesh)
 
@@ -97,7 +128,7 @@ def run_rung(num_processes: int, args, port: int) -> dict | None:
                str(pid), str(num_processes), str(port),
                "--devices-per-proc", str(args.devices_per_proc),
                "--batch-per-device", str(args.batch_per_device),
-               "--steps", str(args.steps)]
+               "--steps", str(args.steps), "--mode", args.mode]
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             text=True))
@@ -128,6 +159,9 @@ def main() -> None:
     parser.add_argument("--devices-per-proc", type=int, default=4)
     parser.add_argument("--batch-per-device", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=200)
+    parser.add_argument("--mode", choices=("env", "ppo"), default="env",
+                        help="env = pure stepping; ppo = full train step "
+                             "(rollout + GAE + update with psum'd grads)")
     parser.add_argument("--timeout", type=int, default=600)
     parser.add_argument("--port", type=int, default=12357)
     parser.add_argument("--real", action="store_true",
@@ -138,12 +172,12 @@ def main() -> None:
 
     if args.real:
         child(0, 0, 0, args.devices_per_proc, args.batch_per_device,
-              args.steps, real=True)
+              args.steps, real=True, mode=args.mode)
         return
     if args._child is not None:
         pid, nproc, port = args._child
         child(pid, nproc, port, args.devices_per_proc,
-              args.batch_per_device, args.steps, real=False)
+              args.batch_per_device, args.steps, real=False, mode=args.mode)
         return
 
     results = []
