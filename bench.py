@@ -436,14 +436,48 @@ def _sig_handler(signum, frame):
     os._exit(0)
 
 
+def _cpu_fallback_attempt(args) -> None:
+    """TPU unreachable: measure a small rung on the host XLA-CPU backend and
+    emit it HONESTLY LABELED (``backend: cpu_fallback_tpu_unreachable``) so a
+    driver run during a tunnel outage records a real, attributable number
+    instead of a bare zero.  Never overwrites a device measurement."""
+    if _BEST.result is not None or _remaining() < 90:
+        return
+    rung = dict(config="batch", batch=16_384, steps=200, iters=2)
+    env = dict(os.environ, PIKAZOO_FORCE_CPU="1")
+    timeout = min(240.0, _remaining() - _EXIT_RESERVE_S)
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--config", rung["config"], "--batch", str(rung["batch"]),
+           "--steps", str(rung["steps"]), "--iters", str(rung["iters"])]
+    try:
+        out = subprocess.run(cmd, timeout=timeout, capture_output=True,
+                             text=True, env=env)
+    except subprocess.TimeoutExpired:
+        return
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            result = json.loads(line)
+            result["backend"] = "cpu_fallback_tpu_unreachable"
+            _BEST.offer(result)
+
+
 def _orchestrate(args) -> None:
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGINT, _sig_handler)
-    _await_device_health(90)
+    healthy = _await_device_health(90)
+    if not healthy:
+        # Lock in the labeled CPU number FIRST — device rungs during an
+        # outage just hang until their clamped timeouts and would leave no
+        # budget for it.  A late tunnel recovery still gets one shot below.
+        _cpu_fallback_attempt(args)
     for rung in _DEFAULT_RUNGS:
         if _remaining() < 60:
             break
-        _BEST.offer(_attempt(rung, args.iters))
+        result = _attempt(rung, args.iters)
+        if result is not None and _BEST.result is not None \
+                and "backend" in _BEST.result:
+            _BEST.result = None  # device number beats the CPU fallback
+        _BEST.offer(result)
     _BEST.emit_final()
 
 
