@@ -1,0 +1,74 @@
+"""Driver-facing contract of bench.py's orchestration layer.
+
+The driver collects the LAST JSON line of `python bench.py` under a hard
+timeout; these tests pin the pieces that protect that contract (best-so-far
+tracking, metric-correct fallbacks, --iters override) without touching a
+device.
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_BENCH = os.path.join(_REPO, "bench.py")
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench_under_test", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_best_tracker_offers_and_fallback_metric():
+    bench = _load_bench()
+    best = bench._Best()
+    # Fallback must be re-targetable per orchestration mode.
+    best.set_fallback("ppo_env_steps_per_s_full_train_step_1chip", 1000.0)
+    assert best.result is None
+    best.offer(None)  # failed rung: ignored
+    assert best.result is None
+    best.offer({"metric": "m", "value": 5, "unit": "u", "vs_baseline": 1})
+    best.offer({"metric": "m", "value": 3, "unit": "u", "vs_baseline": 1})
+    assert best.result["value"] == 5  # lower later result never demotes
+    best.offer({"metric": "m", "value": 9, "unit": "u", "vs_baseline": 1})
+    assert best.result["value"] == 9
+
+
+def test_best_tracker_zero_fallback_uses_mode_metric(capsys):
+    bench = _load_bench()
+    best = bench._Best()
+    best.set_fallback("env_steps_per_s_aggregate_1chip_computer_ai", 19742.0)
+    best.emit_final()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "env_steps_per_s_aggregate_1chip_computer_ai"
+    assert out["value"] == 0
+
+
+def test_mk_rounds_and_scales():
+    bench = _load_bench()
+    r = bench._mk("m", 123456.7, 1000.0)
+    assert r == {"metric": "m", "value": 123457, "unit": "env-steps/s",
+                 "vs_baseline": 123.46}
+
+
+@pytest.mark.slow
+def test_direct_config_emits_single_json_line():
+    """The in-process --config path (what every orchestrated rung execs)
+    prints exactly one parseable JSON line on the CPU backend."""
+    env = dict(os.environ, PIKAZOO_FORCE_CPU="1")
+    out = subprocess.run(
+        [sys.executable, _BENCH, "--config", "batch", "--batch", "256",
+         "--steps", "50", "--iters", "1"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["metric"] == "env_steps_per_s_aggregate_1chip"
+    assert parsed["value"] > 0
