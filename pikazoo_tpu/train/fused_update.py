@@ -222,6 +222,8 @@ def _pack_grads(names, L, outs) -> Tuple[Dict[str, Any], Any]:
 
 _FM_FT = int(_os.environ.get("PIKAZOO_FM_FT", 8))     # frames per grid cell
 _FM_COLS = int(_os.environ.get("PIKAZOO_FM_C", 512))  # env columns per cell
+# Experimental: bf16 hidden-layer gradient chain (see _fm_kernel backward).
+_FM_BWD_BF16 = _os.environ.get("PIKAZOO_FM_BWD_BF16", "0") == "1"
 
 
 def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
@@ -332,20 +334,39 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
         dwv_ref[...] += colsum(h_last_f * dvalue)         # (H, 1)
         dbv_ref[...] += colsum(dvalue)                    # (1, 1)
 
-        dh = (jax.lax.dot_general(wp_ref[...], dlogits_b, c10,
-                                  preferred_element_type=f32)
-              + wvf * dvalue)                             # (H, C)
-        for l in range(L - 1, -1, -1):
-            h_f = hs_b[l].astype(f32)
-            dpre = dh * _dact(h_f, activation)
-            dpre_b = dpre.astype(jnp.bfloat16)
-            below = hs_b[l - 1] if l > 0 else x
-            dw_refs[l][...] += jax.lax.dot_general(
-                below, dpre_b, c11, preferred_element_type=f32)
-            db_refs[l][...] += colsum(dpre)               # (H, 1)
-            if l > 0:
-                dh = jax.lax.dot_general(w_refs[l][...], dpre_b, c10,
-                                         preferred_element_type=f32)
+        if _FM_BWD_BF16:
+            # Experimental (PIKAZOO_FM_BWD_BF16=1): run the hidden-layer
+            # gradient chain in bf16 end to end — halves the VPU bytes of
+            # the backward elementwise work.  Weight-grad ACCUMULATION stays
+            # f32 on the MXU; only the short dh->dpre chain loses mantissa.
+            bf = jnp.bfloat16
+            dh_b = (jax.lax.dot_general(wp_ref[...], dlogits_b, c10,
+                                        preferred_element_type=bf)
+                    + (wvf * dvalue).astype(bf))          # (H, C) bf16
+            for l in range(L - 1, -1, -1):
+                dpre_b = dh_b * _dact(hs_b[l], activation)
+                below = hs_b[l - 1] if l > 0 else x
+                dw_refs[l][...] += jax.lax.dot_general(
+                    below, dpre_b, c11, preferred_element_type=f32)
+                db_refs[l][...] += colsum(dpre_b.astype(f32))
+                if l > 0:
+                    dh_b = jax.lax.dot_general(w_refs[l][...], dpre_b, c10,
+                                               preferred_element_type=bf)
+        else:
+            dh = (jax.lax.dot_general(wp_ref[...], dlogits_b, c10,
+                                      preferred_element_type=f32)
+                  + wvf * dvalue)                         # (H, C)
+            for l in range(L - 1, -1, -1):
+                h_f = hs_b[l].astype(f32)
+                dpre = dh * _dact(h_f, activation)
+                dpre_b = dpre.astype(jnp.bfloat16)
+                below = hs_b[l - 1] if l > 0 else x
+                dw_refs[l][...] += jax.lax.dot_general(
+                    below, dpre_b, c11, preferred_element_type=f32)
+                db_refs[l][...] += colsum(dpre)           # (H, 1)
+                if l > 0:
+                    dh = jax.lax.dot_general(w_refs[l][...], dpre_b, c10,
+                                             preferred_element_type=f32)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     loss_ref[...] += (jnp.where(col == 0, policy_s, 0.0)
