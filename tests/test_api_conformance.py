@@ -104,3 +104,30 @@ def test_compat_render_rgb_array_native_backend():
         e1.step(acts), e2.step(dict(acts))
     np.testing.assert_array_equal(e1.render(), e2.render())
     e1.close(), e2.close()
+
+
+def test_compat_wrappers_over_native_backend():
+    from pikazoo_tpu.native import native_available
+    if not native_available():
+        pytest.skip("g++ toolchain unavailable")
+    # The PettingZoo-level wrappers are backend-agnostic: identical stacked
+    # trajectories over the native and jax backends.
+    def stack(backend):
+        env = cw.SimplifyAction(cw.RewardByBallPosition(
+            compat.env(seed=11, backend=backend),
+            additional_reward=(0.1, 0.2, -0.1, -0.2, -0.1, -0.2, 0.1, 0.2)))
+        obs, _ = env.reset()
+        rng = np.random.default_rng(4)
+        rows = []
+        for _ in range(120):
+            acts = {a: int(rng.integers(0, 13)) for a in env.agents}
+            obs, rews, term, trunc, _ = env.step(acts)
+            rows.append((obs["player_1"].copy(), obs["player_2"].copy(),
+                         rews["player_1"], term["player_1"]))
+        return rows
+
+    for (o1a, o2a, ra, ta), (o1b, o2b, rb, tb) in zip(stack("jax"),
+                                                      stack("native")):
+        np.testing.assert_array_equal(o1a, o1b)
+        np.testing.assert_array_equal(o2a, o2b)
+        assert ra == rb and ta == tb
