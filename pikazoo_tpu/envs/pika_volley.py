@@ -122,6 +122,13 @@ def env_frame(cfg: "EnvConfig", ds: DrawState, p1: PlayerState,
     score2 = jnp.where(game_reset, i32(0), score2)
     is_player2_serve = jnp.where(game_reset, i32(0), is_player2_serve)
     game_ended = jnp.where(game_reset, i32(0), game_ended)
+    # Reward guard for out-of-contract steps: with auto_reset=False a lane
+    # that terminated keeps round_ended=1 (no lazy reset fires, since that
+    # requires game_ended==0), so without this mask every further step would
+    # re-emit the terminal +-1.  The reference never reaches this state (it
+    # empties ``agents``, pikazoo_env.py:237-240), so parity is unaffected:
+    # on the scoring frame itself game_ended is still 0 here.
+    game_ended_at_entry = game_ended
     clear = lambda p: p._replace(
         is_winner=jnp.where(game_reset, i32(0), p.is_winner),
         game_ended=jnp.where(game_reset, i32(0), p.game_ended))
@@ -164,7 +171,7 @@ def env_frame(cfg: "EnvConfig", ds: DrawState, p1: PlayerState,
         game_ended=jnp.where(game_over, i32(1), p2.game_ended))
     round_ended = jnp.where(score_event, i32(1), round_ended)
 
-    reward_p1 = jnp.where(round_ended == 1,
+    reward_p1 = jnp.where((round_ended == 1) & (game_ended_at_entry == 0),
                           jnp.where(is_player2_serve == 1, i32(-1), i32(1)),
                           i32(0))
     return FrameResult(p1, p2, ball, score1, score2, is_player2_serve,

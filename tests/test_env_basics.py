@@ -90,6 +90,37 @@ def test_auto_reset_full_game_cycle():
     assert seen_term >= 3, "auto-reset should let multiple games complete"
 
 
+def test_no_reward_after_termination_without_auto_reset():
+    """Out-of-contract guard: with auto_reset=False, stepping a lane past
+    game_ended=1 must emit zero rewards (the reference avoids this state by
+    emptying ``agents``; the raw functional API needs the explicit mask)."""
+    env = PikaZoo(EnvConfig(winning_score=1, auto_reset=False))
+    state, _ = env.reset(jax.random.key(42))
+    step = jax.jit(env.step)
+    key = jax.random.key(43)
+    terminal_ts = None
+    for _ in range(5000):
+        key, sub = jax.random.split(key)
+        a = jax.random.randint(sub, (2,), 0, NUM_ACTIONS, jnp.int32)
+        state, ts = step(state, a)
+        if bool(ts.terminated):
+            terminal_ts = ts
+            break
+    assert terminal_ts is not None, "game should terminate"
+    # The terminal (scoring) frame itself carries the +-1 reward.
+    assert abs(int(np.asarray(terminal_ts.rewards)[0])) == 1
+    # Every further (out-of-contract) step: zero reward, still terminated,
+    # scores frozen.
+    frozen_scores = np.asarray(state.scores).copy()
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        a = jax.random.randint(sub, (2,), 0, NUM_ACTIONS, jnp.int32)
+        state, ts = step(state, a)
+        assert np.asarray(ts.rewards).tolist() == [0, 0]
+        assert bool(ts.terminated)
+        np.testing.assert_array_equal(np.asarray(state.scores), frozen_scores)
+
+
 @pytest.mark.parametrize("computer", [False, True])
 def test_vmap_batch_matches_single_env(computer):
     """Lane i of a vmapped batch equals an unbatched env given the same
