@@ -188,12 +188,14 @@ class raw_env:  # noqa: N801 — matches the reference class name
     def step(self, actions: Dict[str, int]):
         if self._backend == "native":
             obs, rew, flags = self._stepper.step_obs(
-                int(actions[self.agents[0]]), int(actions[self.agents[1]]))
-            row = self._matrix[0]
-            c_s1, c_s2, _, _ = self._cols
-            self.scores[0] = int(row[c_s1])
-            self.scores[1] = int(row[c_s2])
-            r1 = int(rew[0])
+                int(actions["player_1"]), int(actions["player_2"]))
+            r1 = 0
+            if flags & 2:  # scores only change on round-end frames
+                row = self._matrix[0]
+                c_s1, c_s2, _, _ = self._cols
+                self.scores[0] = int(row[c_s1])
+                self.scores[1] = int(row[c_s2])
+                r1 = int(rew[0])
             terminated = bool(flags & 1)
         else:
             if self._render_rng_coupled:

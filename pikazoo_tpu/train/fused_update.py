@@ -29,7 +29,7 @@ bonus; the reference repo has no learner at all — SURVEY.md §2.2 N7).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -221,34 +221,47 @@ def _pack_grads(names, L, outs) -> Tuple[Dict[str, Any], Any]:
 # accumulation) — orientation only.
 
 _FM_FT = int(_os.environ.get("PIKAZOO_FM_FT", 8))     # frames per grid cell
-_FM_COLS = int(_os.environ.get("PIKAZOO_FM_C", 512))  # env columns per cell
-# Experimental: bf16 hidden-layer gradient chain (see _fm_kernel backward).
+# Env columns per cell: interleaved min-of-6 sweep on v5e (2026-08-19,
+# tools/fm_variants_probe.py, grad+adam at M=4.19M rows): 512 -> 21.3 ms,
+# 1024 -> 19.4 ms (9% above the matmul-only floor of 17.7 ms), 2048 -> 21.3
+# (VMEM pressure).  1024 is the default.
+_FM_COLS = int(_os.environ.get("PIKAZOO_FM_C", 1024))
+# bf16 hidden-layer gradient chain: same sweep measured 19.95 ms vs f32's
+# 19.36 — the kernel is MXU-bound, so halving VPU backward bytes buys
+# nothing and f32 keeps the extra mantissa.  Off by default; kept as a knob.
 _FM_BWD_BF16 = _os.environ.get("PIKAZOO_FM_BWD_BF16", "0") == "1"
 
 
 def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
                clip_eps: float, value_coef: float, entropy_coef: float,
-               inv_m: float, ft: int, *refs):
+               inv_m: float, ft: int, bwd_bf16: bool, *refs):
     """Grid cell: ft frames x C env-columns -> accumulate grads + losses.
 
-    refs layout matches ``_kernel`` (obs + 5 scalar inputs, weights, then
-    grad/loss outputs) but every block is feature-major: obs (ft, F, C),
-    scalars (ft, C), weights natural (F_in, F_out), biases (F_out, 1).
+    refs layout: obs + 5 scalar inputs, hidden weights/biases, then the
+    MERGED head (wpv (H, A+1) bf16, bpv (A+1, 1) f32 — policy columns then
+    the value column), then outputs (hidden grads, dwpv, dbpv, losses).
+    Every block is feature-major: obs (ft, F, C), scalars (ft, C).
+
+    The merged head runs policy logits and the value in ONE (A+1)-row
+    matmul — the value row rides the policy matmul's lane padding for free
+    and removes the elementwise value-head workaround that the Mosaic
+    degenerate-dot bug used to force (see git history for the split form).
+    Row A of the head output is the value; softmax/entropy mask it out via
+    the row iota.
     """
     L = num_hidden
     (obs_ref, act_ref, lpold_ref, vold_ref, adv_ref, tgt_ref) = refs[:6]
     w_refs = refs[6:6 + L]
     b_refs = refs[6 + L:6 + 2 * L]
-    wp_ref, bp_ref, wv_ref, bv_ref = refs[6 + 2 * L:10 + 2 * L]
-    out = refs[10 + 2 * L:]
+    wpv_ref, bpv_ref = refs[6 + 2 * L:8 + 2 * L]
+    out = refs[8 + 2 * L:]
     dw_refs = out[:L]
     db_refs = out[L:2 * L]
-    dwp_ref, dbp_ref, dwv_ref, dbv_ref, loss_ref = out[2 * L:]
+    dwpv_ref, dbpv_ref, loss_ref = out[2 * L:]
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _zero_accumulators():
-        for r in (*dw_refs, *db_refs, dwp_ref, dbp_ref, dwv_ref, dbv_ref,
-                  loss_ref):
+        for r in (*dw_refs, *db_refs, dwpv_ref, dbpv_ref, loss_ref):
             r[...] = jnp.zeros_like(r)
 
     f32 = jnp.float32
@@ -275,27 +288,22 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
                 + b_refs[l][...]                          # (H, C)
             h_b = _act(pre, activation).astype(jnp.bfloat16)
             hs_b.append(h_b)
-        logits = jax.lax.dot_general(wp_ref[...], h_b, c00,
-                                     preferred_element_type=f32) \
-            + bp_ref[...]                                 # (A, C)
-        # Value head as elementwise f32 multiply + reduce: Mosaic's lowering
-        # of degenerate (1-row/col) dot_generals emits a dtype-invalid
-        # vector.broadcast ('vector.broadcast' bf16 -> f32 verifier error).
-        # bf16 products are exact in f32, so this matches MXU semantics up
-        # to summation order.
-        h_last_f = h_b.astype(f32)                        # (H, C)
-        wvf = wv_ref[...].astype(f32)                     # (H, 1)
-        value = jnp.sum(wvf * h_last_f, axis=0, keepdims=True) \
-            + bv_ref[...]                                 # (1, C)
+        heads = jax.lax.dot_general(wpv_ref[...], h_b, c00,
+                                    preferred_element_type=f32) \
+            + bpv_ref[...]                                # (A+1, C)
+        row = jax.lax.broadcasted_iota(jnp.int32, heads.shape, 0)
+        is_logit = row < num_actions                      # value row = A
+        value = rowsum(jnp.where(is_logit, 0.0, heads))   # (1, C)
 
-        m = jnp.max(logits, axis=0, keepdims=True)
-        ex = jnp.exp(logits - m)
+        # Masked softmax over the A logit rows only.
+        m = jnp.max(jnp.where(is_logit, heads, -jnp.inf), axis=0,
+                    keepdims=True)
+        ex = jnp.where(is_logit, jnp.exp(heads - m), 0.0)
         sumex = rowsum(ex)
-        logp_all = logits - (jnp.log(sumex) + m)
-        p = ex / sumex
+        logp_all = heads - (jnp.log(sumex) + m)           # row A: garbage,
+        p = ex / sumex                                    #   p there is 0
         act_row = act_ref[f:f + 1, :]                     # (1, C) i32
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
-                  == act_row).astype(f32)
+        onehot = (row == act_row).astype(f32)             # never row A
         lp_new = rowsum(logp_all * onehot)                # (1, C)
 
         lpo = lpold_ref[f:f + 1, :]
@@ -306,7 +314,7 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
         unclipped = ratio * adv
         clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps) * adv
         policy_s += -jnp.sum(jnp.minimum(unclipped, clipped))
-        entropy_row = -rowsum(p * logp_all)               # (1, C)
+        entropy_row = -rowsum(jnp.where(is_logit, p * logp_all, 0.0))
         entropy_s += jnp.sum(entropy_row)
         vclip = vold + jnp.clip(value - vold, -clip_eps, clip_eps)
         e1 = value - tgt
@@ -324,25 +332,25 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
                     & (value - vold < clip_eps)).astype(f32)
         dvalue = (value_coef * inv_m) * jnp.where(e1 * e1 >= e2 * e2, e1,
                                                   e2 * inside_v)   # (1, C)
+        # Merged upstream gradient: policy rows carry dlogits (p is 0 on the
+        # value row, so the formula is exactly 0 there), row A carries dvalue.
+        dheads = jnp.where(is_logit, dlogits, dvalue)     # (A+1, C)
 
-        dlogits_b = dlogits.astype(jnp.bfloat16)
-        dwp_ref[...] += jax.lax.dot_general(hs_b[-1], dlogits_b, c11,
-                                            preferred_element_type=f32)
-        dbp_ref[...] += colsum(dlogits)                   # (A, 1)
-        # Value-head grads without degenerate dots (see forward note):
-        # dWv = h dvalue^T summed over C; dh += Wv dvalue (outer product).
-        dwv_ref[...] += colsum(h_last_f * dvalue)         # (H, 1)
-        dbv_ref[...] += colsum(dvalue)                    # (1, 1)
+        dheads_b = dheads.astype(jnp.bfloat16)
+        dwpv_ref[...] += jax.lax.dot_general(hs_b[-1], dheads_b, c11,
+                                             preferred_element_type=f32)
+        dbpv_ref[...] += colsum(dheads)                   # (A+1, 1)
 
-        if _FM_BWD_BF16:
-            # Experimental (PIKAZOO_FM_BWD_BF16=1): run the hidden-layer
-            # gradient chain in bf16 end to end — halves the VPU bytes of
-            # the backward elementwise work.  Weight-grad ACCUMULATION stays
-            # f32 on the MXU; only the short dh->dpre chain loses mantissa.
+        if bwd_bf16:
+            # Optional bf16 hidden-layer gradient chain — halves the VPU
+            # bytes of the backward elementwise work.  MXU accumulation is
+            # ALWAYS f32 (Mosaic rejects bf16 matmul accumulators: 'Expected
+            # matmul acc to be 32-bit'); the bf16 part is the dh->dpre
+            # elementwise chain, entered via an explicit cast.
             bf = jnp.bfloat16
-            dh_b = (jax.lax.dot_general(wp_ref[...], dlogits_b, c10,
-                                        preferred_element_type=bf)
-                    + (wvf * dvalue).astype(bf))          # (H, C) bf16
+            dh_b = jax.lax.dot_general(
+                wpv_ref[...], dheads_b, c10,
+                preferred_element_type=f32).astype(bf)
             for l in range(L - 1, -1, -1):
                 dpre_b = dh_b * _dact(hs_b[l], activation)
                 below = hs_b[l - 1] if l > 0 else x
@@ -350,12 +358,12 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
                     below, dpre_b, c11, preferred_element_type=f32)
                 db_refs[l][...] += colsum(dpre_b.astype(f32))
                 if l > 0:
-                    dh_b = jax.lax.dot_general(w_refs[l][...], dpre_b, c10,
-                                               preferred_element_type=bf)
+                    dh_b = jax.lax.dot_general(
+                        w_refs[l][...], dpre_b, c10,
+                        preferred_element_type=f32).astype(bf)
         else:
-            dh = (jax.lax.dot_general(wp_ref[...], dlogits_b, c10,
-                                      preferred_element_type=f32)
-                  + wvf * dvalue)                         # (H, C)
+            dh = jax.lax.dot_general(wpv_ref[...], dheads_b, c10,
+                                     preferred_element_type=f32)   # (H, C)
             for l in range(L - 1, -1, -1):
                 h_f = hs_b[l].astype(f32)
                 dpre = dh * _dact(h_f, activation)
@@ -384,14 +392,18 @@ def _pick_tile(n: int, want: int, floor: int = 8) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "num_actions", "activation", "clip_eps", "value_coef", "entropy_coef",
-    "interpret", "total_rows"))
+    "interpret", "total_rows", "frames_per_cell", "cols_per_cell",
+    "bwd_bf16"))
 def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
                        action: jnp.ndarray, logp_old: jnp.ndarray,
                        value_old: jnp.ndarray, adv_norm: jnp.ndarray,
                        target: jnp.ndarray, *, num_actions: int,
                        activation: str, clip_eps: float, value_coef: float,
                        entropy_coef: float, interpret: bool = False,
-                       total_rows: int = 0
+                       total_rows: int = 0,
+                       frames_per_cell: Optional[int] = None,
+                       cols_per_cell: Optional[int] = None,
+                       bwd_bf16: Optional[bool] = None
                        ) -> Tuple[Dict[str, Any], jnp.ndarray]:
     """Feature-major fused PPO minibatch gradient.
 
@@ -399,20 +411,29 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
     (T, 2B) shape: ``obs`` is (T, F, 2B) bf16 pre-normalized FEATURE-MAJOR
     (the layout the rollout's ``step_batch_learner_fm`` emits), the per-row
     arrays are (T, 2B).  Returns ``(grads, losses)`` identically.
+
+    ``frames_per_cell``/``cols_per_cell``/``bwd_bf16`` override the
+    module-level tile/precision defaults (PIKAZOO_FM_FT / PIKAZOO_FM_C /
+    PIKAZOO_FM_BWD_BF16) per call — the probe tooling sweeps them.
     """
     from pikazoo_tpu.train.networks import dense_layers
 
     names, L, w, b = dense_layers(params)
     t_mb, b2 = action.shape
     f = obs.shape[1]
-    ft = _pick_tile(t_mb, _FM_FT, floor=1)
-    c = _pick_tile(b2, _FM_COLS, floor=128)
+    ft = _pick_tile(t_mb, frames_per_cell or _FM_FT, floor=1)
+    c = _pick_tile(b2, cols_per_cell or _FM_COLS, floor=128)
+    if bwd_bf16 is None:
+        bwd_bf16 = _FM_BWD_BF16
     inv_m = 1.0 / (total_rows or t_mb * b2)
 
     obs_fm = obs.astype(jnp.bfloat16)                      # (T, F, 2B)
     sc = lambda a: a.astype(jnp.float32)
     w_b = [x.astype(jnp.bfloat16) for x in w]
     b_c = [x.astype(jnp.float32).reshape(-1, 1) for x in b]  # (F_out, 1)
+    # Merged head: policy columns then the value column (kernel docstring).
+    wpv = jnp.concatenate([w_b[L], w_b[L + 1]], axis=1)    # (H, A+1) bf16
+    bpv = jnp.concatenate([b_c[L], b_c[L + 1]], axis=0)    # (A+1, 1) f32
 
     obs_spec = pl.BlockSpec((ft, f, c), lambda i, j: (i, 0, j),
                             memory_space=pltpu.VMEM)
@@ -427,21 +448,20 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
     in_specs = ([obs_spec, sc_spec, sc_spec, sc_spec, sc_spec, sc_spec]
                 + [whole(x.shape) for x in w_b[:L]]
                 + [whole(x.shape) for x in b_c[:L]]
-                + [whole(w_b[L].shape), whole(b_c[L].shape),
-                   whole(w_b[L + 1].shape), whole(b_c[L + 1].shape)])
+                + [whole(wpv.shape), whole(bpv.shape)])
+    a1 = num_actions + 1
     out_shapes = ([jax.ShapeDtypeStruct(x.shape, jnp.float32)
                    for x in w[:L]]
                   + [jax.ShapeDtypeStruct((x.shape[0], 1), jnp.float32)
                      for x in b[:L]]
-                  + [jax.ShapeDtypeStruct(w[L].shape, jnp.float32),
-                     jax.ShapeDtypeStruct((b[L].shape[0], 1), jnp.float32),
-                     jax.ShapeDtypeStruct(w[L + 1].shape, jnp.float32),
-                     jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                  + [jax.ShapeDtypeStruct((w[L].shape[0], a1), jnp.float32),
+                     jax.ShapeDtypeStruct((a1, 1), jnp.float32),
                      jax.ShapeDtypeStruct((1, 8), jnp.float32)])
     out_specs = [whole(s.shape) for s in out_shapes]
 
     kernel = functools.partial(_fm_kernel, L, num_actions, activation,
-                               clip_eps, value_coef, entropy_coef, inv_m, ft)
+                               clip_eps, value_coef, entropy_coef, inv_m,
+                               ft, bwd_bf16)
     outs = pl.pallas_call(
         kernel,
         grid=(t_mb // ft, b2 // c),
@@ -450,8 +470,14 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
         out_shape=out_shapes,
         interpret=interpret,
     )(obs_fm, action.astype(jnp.int32), sc(logp_old), sc(value_old),
-      sc(adv_norm), sc(target), *w_b[:L], *b_c[:L], w_b[L], b_c[L],
-      w_b[L + 1], b_c[L + 1])
+      sc(adv_norm), sc(target), *w_b[:L], *b_c[:L], wpv, bpv)
+
+    # Split the merged-head grads back to the params layout expected by
+    # _pack_grads: dwpv (H, A+1) -> dwp | dwv, dbpv (A+1, 1) -> dbp | dbv.
+    dwpv, dbpv, sums_out = outs[2 * L], outs[2 * L + 1], outs[2 * L + 2]
+    outs = (list(outs[:2 * L])
+            + [dwpv[:, :num_actions], dbpv[:num_actions],
+               dwpv[:, num_actions:], dbpv[num_actions:], sums_out])
 
     grads, sums = _pack_grads(names, L, outs)
 

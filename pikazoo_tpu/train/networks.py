@@ -101,10 +101,13 @@ def apply_fm(params, x_fm: jnp.ndarray, activation: str = "tanh"
                                   preferred_element_type=bf) \
             + b[l].astype(bf)[:, None]
         h = jnp.maximum(pre, 0) if activation == "relu" else jnp.tanh(pre)
-    logits = jax.lax.dot_general(w[L].astype(bf), h, c00,
-                                 preferred_element_type=bf) \
-        + b[L].astype(bf)[:, None]
-    value = jax.lax.dot_general(w[L + 1].astype(bf), h, c00,
-                                preferred_element_type=bf) \
-        + b[L + 1].astype(bf)[:, None]
-    return logits.astype(f32), value[0].astype(f32)
+    # Merged policy+value head: one (H, A+1) matmul.  A separate value dot
+    # costs a full M-padded MXU pass (~22% of the rollout's matmul blocks)
+    # just to produce 1 output row; concatenated, the value row rides the
+    # policy matmul's padding for free.  Per-column accumulation is
+    # unchanged, so logits and value are bit-identical to the split form.
+    wpv = jnp.concatenate([w[L].astype(bf), w[L + 1].astype(bf)], axis=1)
+    bpv = jnp.concatenate([b[L].astype(bf), b[L + 1].astype(bf)])
+    heads = jax.lax.dot_general(wpv, h, c00,
+                                preferred_element_type=bf) + bpv[:, None]
+    return heads[:-1].astype(f32), heads[-1].astype(f32)

@@ -294,6 +294,88 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
         approx_kl = ((ratio - 1) - jnp.log(ratio)).mean()
         return total, (policy_loss, value_loss, entropy, approx_kl)
 
+    # ------------------------------------------------------ update dispatch --
+    # Hoisted out of train_step so the phase probes (scaling harness) can
+    # time the exact minibatch-gradient program the train step runs.
+    if cfg.fused_update in ("on", "fm"):
+        use_fused = True
+        fused_interpret = jax.default_backend() != "tpu"
+        fused_fm = cfg.fused_update == "fm"
+    elif cfg.fused_update == "auto":
+        # Hardware-measured (v5e, 65536 envs, 2026-08-17): the feature-
+        # major kernel nearly halves the full train step vs XLA autodiff
+        # (16.6M vs 8.5M env-steps/s); the row-major kernel REGRESSES it
+        # (6.7M — its (G, R, 1) per-row scalar blocks pad 128x in HBM).
+        # So auto = feature-major on TPU, XLA autodiff elsewhere.
+        use_fused = jax.default_backend() == "tpu"
+        fused_interpret = False
+        fused_fm = True
+    else:
+        use_fused, fused_interpret, fused_fm = False, False, False
+
+    def _fused_minibatch_grads(params, mtraj, madv, mtarget):
+        from pikazoo_tpu.train.fused_update import (fused_ppo_grads,
+                                                    fused_ppo_grads_fm)
+
+        adv_n = (madv - madv.mean()) / (madv.std() + 1e-8)
+        kw = dict(num_actions=cfg.num_actions,
+                  activation=cfg.activation, clip_eps=cfg.clip_eps,
+                  value_coef=cfg.value_coef,
+                  entropy_coef=cfg.entropy_coef,
+                  interpret=fused_interpret)
+        data = (mtraj.obs, mtraj.action, mtraj.log_prob, mtraj.value,
+                adv_n, mtarget)
+        total_rows = mtraj.action.shape[0] * mtraj.action.shape[1]
+        # obs is feature-major (T_mb, F, 2B); the row-major kernel and
+        # its (M, F) flatten need it transposed back first.
+        def rm_flat(leaves):
+            obs = jnp.swapaxes(leaves[0], 1, 2)
+            flat = lambda x: x.reshape(-1, *x.shape[2:])
+            return tuple(map(flat, (obs,) + leaves[1:]))
+
+        if mesh is None:
+            if fused_fm:
+                # Feature-major path consumes the minibatch as-is; the
+                # kernel grids over frames x env columns.
+                return fused_ppo_grads_fm(params, *data, **kw)
+            return fused_ppo_grads(params, *rm_flat(data), **kw)
+
+        # Mesh path: the learner-batch axis (dim 1 of every (T_mb, 2B,
+        # ...) leaf) is sharded; flatten LOCALLY inside shard_map (a
+        # global flatten of a dim-1-sharded array would interleave
+        # shards) and psum the grad/loss partials, which the kernel
+        # pre-scales by 1/total_rows.
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+
+        def local_grads(p, *leaves):
+            if fused_fm:
+                grads, losses = fused_ppo_grads_fm(
+                    p, *leaves, total_rows=total_rows, **kw)
+            else:
+                grads, losses = fused_ppo_grads(
+                    p, *rm_flat(leaves), total_rows=total_rows, **kw)
+            grads = jax.tree.map(lambda x: jax.lax.psum(x, axis), grads)
+            return grads, jax.lax.psum(losses, axis)
+
+        # Every leaf shards its trailing env axis: (T_mb, 2B) scalars on
+        # dim 1, the feature-major (T_mb, F, 2B) obs on dim 2.
+        return jax.shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(P(), P(None, None, axis)) + (P(None, axis),) * 5,
+            out_specs=(P(), P()),
+            check_vma=False)(params, *data)
+
+    def minibatch_grads(params, mtraj, madv, mtarget):
+        """The exact minibatch-gradient program train_step runs (fused
+        Pallas or XLA autodiff, with the mesh psum when configured).
+        Returns ``(grads, losses[5])``."""
+        if use_fused:
+            return _fused_minibatch_grads(params, mtraj, madv, mtarget)
+        (total, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, mtraj, madv, mtarget)
+        return grads, jnp.stack([total, *aux])
+
     # ---------------------------------------------------------- train step --
     def train_step(runner: PPORunnerState
                    ) -> Tuple[PPORunnerState, TrainMetrics]:
@@ -339,89 +421,16 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
         # Under a mesh a bare pallas_call would be lowered as an
         # unpartitioned custom call (replicating the minibatch), so the
         # mesh path wraps the kernel in shard_map over the learner-batch
-        # axis and psums the grad/loss partials (see _fused_minibatch_grads).
-        if cfg.fused_update in ("on", "fm"):
-            use_fused = True
-            fused_interpret = jax.default_backend() != "tpu"
-            fused_fm = cfg.fused_update == "fm"
-        elif cfg.fused_update == "auto":
-            # Hardware-measured (v5e, 65536 envs, 2026-08-17): the feature-
-            # major kernel nearly halves the full train step vs XLA autodiff
-            # (16.6M vs 8.5M env-steps/s); the row-major kernel REGRESSES it
-            # (6.7M — its (G, R, 1) per-row scalar blocks pad 128x in HBM).
-            # So auto = feature-major on TPU, XLA autodiff elsewhere.
-            use_fused = jax.default_backend() == "tpu"
-            fused_interpret = False
-            fused_fm = True
-        else:
-            use_fused, fused_interpret, fused_fm = False, False, False
-
-        def _fused_minibatch_grads(params, mtraj, madv, mtarget):
-            from pikazoo_tpu.train.fused_update import (fused_ppo_grads,
-                                                        fused_ppo_grads_fm)
-
-            adv_n = (madv - madv.mean()) / (madv.std() + 1e-8)
-            kw = dict(num_actions=cfg.num_actions,
-                      activation=cfg.activation, clip_eps=cfg.clip_eps,
-                      value_coef=cfg.value_coef,
-                      entropy_coef=cfg.entropy_coef,
-                      interpret=fused_interpret)
-            data = (mtraj.obs, mtraj.action, mtraj.log_prob, mtraj.value,
-                    adv_n, mtarget)
-            total_rows = mtraj.action.shape[0] * mtraj.action.shape[1]
-            # obs is feature-major (T_mb, F, 2B); the row-major kernel and
-            # its (M, F) flatten need it transposed back first.
-            def rm_flat(leaves):
-                obs = jnp.swapaxes(leaves[0], 1, 2)
-                flat = lambda x: x.reshape(-1, *x.shape[2:])
-                return tuple(map(flat, (obs,) + leaves[1:]))
-
-            if mesh is None:
-                if fused_fm:
-                    # Feature-major path consumes the minibatch as-is; the
-                    # kernel grids over frames x env columns.
-                    return fused_ppo_grads_fm(params, *data, **kw)
-                return fused_ppo_grads(params, *rm_flat(data), **kw)
-
-            # Mesh path: the learner-batch axis (dim 1 of every (T_mb, 2B,
-            # ...) leaf) is sharded; flatten LOCALLY inside shard_map (a
-            # global flatten of a dim-1-sharded array would interleave
-            # shards) and psum the grad/loss partials, which the kernel
-            # pre-scales by 1/total_rows.
-            from jax.sharding import PartitionSpec as P
-            axis = mesh.axis_names[0]
-
-            def local_grads(p, *leaves):
-                if fused_fm:
-                    grads, losses = fused_ppo_grads_fm(
-                        p, *leaves, total_rows=total_rows, **kw)
-                else:
-                    grads, losses = fused_ppo_grads(
-                        p, *rm_flat(leaves), total_rows=total_rows, **kw)
-                grads = jax.tree.map(lambda x: jax.lax.psum(x, axis), grads)
-                return grads, jax.lax.psum(losses, axis)
-
-            # Every leaf shards its trailing env axis: (T_mb, 2B) scalars on
-            # dim 1, the feature-major (T_mb, F, 2B) obs on dim 2.
-            return jax.shard_map(
-                local_grads, mesh=mesh,
-                in_specs=(P(), P(None, None, axis)) + (P(None, axis),) * 5,
-                out_specs=(P(), P()),
-                check_vma=False)(params, *data)
-
+        # axis and psums the grad/loss partials (see _fused_minibatch_grads
+        # in the update-dispatch section above).
         def epoch(carry, _):
             params, opt_state = carry
 
             def minibatch(carry, mb):
                 params, opt_state = carry
                 mtraj, madv, mtarget = mb
-                if use_fused:
-                    grads, losses = _fused_minibatch_grads(
-                        params, mtraj, madv, mtarget)
-                    total, aux = losses[0], tuple(losses[1:])
-                else:
-                    (total, aux), grads = jax.value_and_grad(
-                        loss_fn, has_aux=True)(params, mtraj, madv, mtarget)
+                grads, losses = minibatch_grads(params, mtraj, madv, mtarget)
+                total, aux = losses[0], tuple(losses[1:])
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), (total, *aux)
@@ -454,4 +463,11 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
                                 runner.update_index + 1)
         return runner, metrics
 
+    # Phase probes for the scaling/throughput harness (tools/
+    # multihost_scale.py): the exact rollout and minibatch-gradient programs
+    # train_step runs, exposed as attributes so the harness can time each
+    # phase under the same mesh without duplicating the trainer internals.
+    train_step.rollout_fn = rollout
+    train_step.minibatch_grads_fn = minibatch_grads
+    train_step.tx = tx
     return init_fn, train_step, network

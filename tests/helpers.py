@@ -20,11 +20,19 @@ def pad_oracle(draws: np.ndarray, capacity: int = ORACLE_CAPACITY) -> jnp.ndarra
 
 
 def replay_and_compare(trace: ReferenceTrace, config: EnvConfig,
-                       check_draw_counts: bool = True) -> None:
+                       check_draw_counts: bool = True,
+                       env: PikaZoo | None = None) -> None:
     """Replay a reference trace through the TPU env in oracle mode and assert
-    frame-by-frame equality of obs, rewards, terminations and draw counters."""
+    frame-by-frame equality of obs, rewards, terminations and draw counters.
+
+    Pass ``env`` to reuse one PikaZoo instance (and its jit cache) across
+    many traces of the same config — the fuzz corpus replays dozens of seeds
+    per config and a fresh instance would recompile ``step`` every time."""
     assert not config.auto_reset, "parity replay needs PettingZoo semantics"
-    env = PikaZoo(config)
+    if env is None:
+        env = PikaZoo(config)
+    else:
+        assert env.config == config
     oracle = pad_oracle(trace.draws)
     state, ts = env.reset(jax.random.key(0), oracle=oracle)
     step = jax.jit(env.step)

@@ -39,7 +39,7 @@ obs = jax.random.uniform(kseq[3], (T_MB, F, B2)).astype(jnp.bfloat16)
 print(f"[0] M={M/1e6:.2f}M rows  grid=({T_MB // FT},{B2 // C})", flush=True)
 
 
-def _mm_kernel(obs_ref, w1_ref, w2_ref, wp_ref,
+def _mm_kernel(MODE, FT, C, obs_ref, w1_ref, w2_ref, wp_ref,
                dw1_ref, dw2_ref, dwp_ref):
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _zero():
@@ -50,9 +50,9 @@ def _mm_kernel(obs_ref, w1_ref, w2_ref, wp_ref,
     c00 = (((0,), (0,)), ((), ()))
     c10 = (((1,), (0,)), ((), ()))
     c11 = (((1,), (1,)), ((), ()))
-    for f in range(FT):
+
+    def fwd(f):
         x = obs_ref[f]                                    # (F, C) bf16
-        # forward: 3 matmuls (value head rides policy padding — skipped)
         h1 = jax.lax.dot_general(w1_ref[...], x, c00,
                                  preferred_element_type=f32)
         h1b = h1.astype(jnp.bfloat16)
@@ -63,7 +63,9 @@ def _mm_kernel(obs_ref, w1_ref, w2_ref, wp_ref,
                                      preferred_element_type=f32)
         # fabricated upstream gradient: bare cast, no loss math
         dlb = logits.astype(jnp.bfloat16)                 # (A, C)
-        # backward: 5 matmuls
+        return x, h1b, h2b, dlb
+
+    def bwd(x, h1b, h2b, dlb):
         dwp_ref[...] += jax.lax.dot_general(h2b, dlb, c11,
                                             preferred_element_type=f32)
         dh2 = jax.lax.dot_general(wp_ref[...], dlb, c10,
@@ -77,54 +79,79 @@ def _mm_kernel(obs_ref, w1_ref, w2_ref, wp_ref,
         dw1_ref[...] += jax.lax.dot_general(x, dpre1b, c11,
                                             preferred_element_type=f32)
 
-
-@jax.jit
-def mm_grads(obs, W1, W2, Wp):
-    bf = jnp.bfloat16
-
-    def whole(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, (lambda i, j: (0,) * nd),
-                            memory_space=pltpu.VMEM)
-
-    obs_spec = pl.BlockSpec((FT, F, C), lambda i, j: (i, 0, j),
-                            memory_space=pltpu.VMEM)
-    w_in = [W1.astype(bf), W2.astype(bf), Wp.astype(bf)]
-    out_shapes = [jax.ShapeDtypeStruct(W1.shape, jnp.float32),
-                  jax.ShapeDtypeStruct(W2.shape, jnp.float32),
-                  jax.ShapeDtypeStruct(Wp.shape, jnp.float32)]
-    return pl.pallas_call(
-        _mm_kernel,
-        grid=(T_MB // FT, B2 // C),
-        in_specs=[obs_spec] + [whole(x.shape) for x in w_in],
-        out_specs=[whole(s.shape) for s in out_shapes],
-        out_shape=out_shapes,
-        interpret=jax.default_backend() != "tpu",
-    )(obs, *w_in)
+    if MODE == "phased":
+        # All forwards first (independent chains across frames), then all
+        # backwards — gives the scheduler cross-frame ILP to hide MXU
+        # latency, at the cost of keeping FT frames' activations live.
+        acts = [fwd(f) for f in range(FT)]
+        for a in acts:
+            bwd(*a)
+    else:
+        for f in range(FT):
+            bwd(*fwd(f))
 
 
-@jax.jit
-def k_mm(obs, W1, W2, Wp):
-    def one(carry, _):
-        W1, W2, Wp = carry
-        outs = mm_grads(obs, W1, W2, Wp)
-        # feed grads back so the scan has a real dependency chain
-        return (W1 - 1e-9 * outs[0], W2 - 1e-9 * outs[1],
-                Wp - 1e-9 * outs[2]), outs[2][0, 0]
+def make_k_mm(mode, ft, c):
+    def mm_grads(obs, W1, W2, Wp):
+        bf = jnp.bfloat16
 
-    (W1, W2, Wp), losses = jax.lax.scan(one, (W1, W2, Wp), None, length=K)
-    return W1, losses[-1]
+        def whole(shape):
+            nd = len(shape)
+            return pl.BlockSpec(shape, (lambda i, j: (0,) * nd),
+                                memory_space=pltpu.VMEM)
+
+        obs_spec = pl.BlockSpec((ft, F, c), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+        w_in = [W1.astype(bf), W2.astype(bf), Wp.astype(bf)]
+        out_shapes = [jax.ShapeDtypeStruct(W1.shape, jnp.float32),
+                      jax.ShapeDtypeStruct(W2.shape, jnp.float32),
+                      jax.ShapeDtypeStruct(Wp.shape, jnp.float32)]
+        return pl.pallas_call(
+            functools.partial(_mm_kernel, mode, ft, c),
+            grid=(T_MB // ft, B2 // c),
+            in_specs=[obs_spec] + [whole(x.shape) for x in w_in],
+            out_specs=[whole(s.shape) for s in out_shapes],
+            out_shape=out_shapes,
+            interpret=jax.default_backend() != "tpu",
+        )(obs, *w_in)
+
+    @jax.jit
+    def k_mm(obs, W1, W2, Wp):
+        def one(carry, _):
+            W1, W2, Wp = carry
+            outs = mm_grads(obs, W1, W2, Wp)
+            # feed grads back so the scan has a real dependency chain
+            return (W1 - 1e-9 * outs[0], W2 - 1e-9 * outs[1],
+                    Wp - 1e-9 * outs[2]), outs[2][0, 0]
+
+        (W1, W2, Wp), losses = jax.lax.scan(one, (W1, W2, Wp), None,
+                                            length=K)
+        return W1, losses[-1]
+
+    return k_mm
 
 
-t0 = time.perf_counter()
-w1, loss = k_mm(obs, W1, W2, Wp)
-print(f"[1] mm-only compile+first {time.perf_counter() - t0:.1f}s", flush=True)
-t0 = time.perf_counter()
-for _ in range(ITERS):
-    w1, loss = k_mm(obs, W1, W2, Wp)
-_ = float(loss)
-dt = (time.perf_counter() - t0) / (ITERS * K)
-# padded-block model: blocks of 128^3 MACs per (frame, C-column-tile) cell
-blocks = dict(l1f=1 * 1 * (C // 128) * 4 // 4, )  # just print measured
-print(f"[1] mm-only {dt * 1e3:9.2f} ms/grad-step "
-      f"({M / dt / 1e6:9.1f}M rows/s)", flush=True)
+# Variants interleaved in one process, min-of-N: the tunnel/chip timing
+# varies up to 2x between runs, so only same-process relative minima are
+# trustworthy.
+VARIANTS = [("chain", 8, 512), ("phased", 8, 512), ("phased", 8, 1024),
+            ("chain", 8, 1024)]
+fns = {v: make_k_mm(*v) for v in VARIANTS}
+best = {v: float("inf") for v in VARIANTS}
+for v, fn in fns.items():
+    t0 = time.perf_counter()
+    w1, loss = fn(obs, W1, W2, Wp)
+    _ = float(loss)
+    print(f"[c] {v} compile+first {time.perf_counter() - t0:.1f}s",
+          flush=True)
+for r in range(ITERS):
+    for v, fn in fns.items():
+        t0 = time.perf_counter()
+        w1, loss = fn(obs, W1, W2, Wp)
+        _ = float(loss)
+        dt = (time.perf_counter() - t0) / K
+        best[v] = min(best[v], dt)
+for v in VARIANTS:
+    dt = best[v]
+    print(f"[1] mm-only {str(v):24s} {dt * 1e3:9.2f} ms/grad-step "
+          f"({M / dt / 1e6:9.1f}M rows/s)  min of {ITERS}", flush=True)

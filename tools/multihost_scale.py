@@ -62,7 +62,7 @@ def child(process_id: int, num_processes: int, port: int,
 
     env = PikaZoo(EnvConfig(auto_reset=True))
 
-    if mode == "ppo":
+    if mode in ("ppo", "ppo_phases"):
         # Full actor-learner train step over the mesh (config-5 shape):
         # env-axis-sharded rollout, psum'd minibatch gradients.
         from pikazoo_tpu.parallel import env_sharding
@@ -78,17 +78,70 @@ def child(process_id: int, num_processes: int, port: int,
         step = jax.jit(train_step, donate_argnums=0)
         runner, metrics = step(runner)  # compile
         jax.block_until_ready(metrics.total_loss)
+
+        def timed(fn, *args, reps=3):
+            out = fn(*args)  # warm (and compile on first use)
+            jax.block_until_ready(out)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn(*args)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
         t0 = time.perf_counter()
         runner, metrics = step(runner)
         jax.block_until_ready(metrics.total_loss)
         dt = time.perf_counter() - t0
+        result = {
+            "procs": jax.process_count(),
+            "devices": len(devices),
+            "batch": batch,
+            "steps_per_s": round(batch * cfg.rollout_length / dt),
+        }
+
+        if mode == "ppo_phases":
+            # Per-phase breakdown with the trainer's own phase programs
+            # (train_step.rollout_fn / minibatch_grads_fn): where does the
+            # time go as the process count grows?
+            roll = jax.jit(lambda p, st, obs, key:
+                           train_step.rollout_fn(p, st, obs, key))
+            result["rollout_s"] = timed(
+                roll, runner.params, runner.env_state, runner.last_obs,
+                runner.key)
+
+            # One minibatch of the trainer's own update program (grads incl.
+            # the mesh psum when fused; GSPMD all-reduce otherwise).
+            (_, traj) = roll(runner.params, runner.env_state,
+                             runner.last_obs, runner.key)
+            t_mb = cfg.rollout_length // cfg.num_minibatches
+            mb = jax.tree.map(lambda x: x[:t_mb], traj)
+            adv = traj.reward[:t_mb]
+            tgt = traj.value[:t_mb]
+            grads_fn = jax.jit(lambda p, m, a, t:
+                               train_step.minibatch_grads_fn(p, m, a, t))
+            result["minibatch_grad_s"] = timed(
+                grads_fn, runner.params, mb, adv, tgt)
+            n_mb = cfg.update_epochs * cfg.num_minibatches
+            result["update_s_est"] = result["minibatch_grad_s"] * n_mb
+
+            # The collective alone: psum of a gradient-sized pytree.
+            from jax.sharding import PartitionSpec as P
+            grads, _ = grads_fn(runner.params, mb, adv, tgt)
+
+            @jax.jit
+            def psum_only(g):
+                return jax.shard_map(
+                    lambda t: jax.tree.map(
+                        lambda x: jax.lax.psum(x, "env"), t),
+                    mesh=mesh, in_specs=P(), out_specs=P(),
+                    check_vma=False)(g)
+
+            result["grad_psum_s"] = timed(psum_only, grads)
+
         if jax.process_index() == 0:
-            print(json.dumps({
-                "procs": jax.process_count(),
-                "devices": len(devices),
-                "batch": batch,
-                "steps_per_s": round(batch * cfg.rollout_length / dt),
-            }), flush=True)
+            print(json.dumps(result), flush=True)
         return
 
     state, _ = env.reset_batch(jax.random.key(0), batch)
@@ -159,7 +212,8 @@ def main() -> None:
     parser.add_argument("--devices-per-proc", type=int, default=4)
     parser.add_argument("--batch-per-device", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=200)
-    parser.add_argument("--mode", choices=("env", "ppo"), default="env",
+    parser.add_argument("--mode", choices=("env", "ppo", "ppo_phases"),
+                        default="env",
                         help="env = pure stepping; ppo = full train step "
                              "(rollout + GAE + update with psum'd grads)")
     parser.add_argument("--timeout", type=int, default=600)
