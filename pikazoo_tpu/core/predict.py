@@ -50,13 +50,17 @@ ORDER_B = jnp.asarray([2, 1, 0, 5, 4, 3], jnp.int32)
 _FULL_NET_RULE = jnp.asarray([1, 0, 0, 0, 0, 0, 0], jnp.int32)
 
 # Sub-iterations per while-loop trip in the lax fallback (see body());
-# tunable for experiments on hosts where the pallas kernel is unavailable.
+# tunable via PIKAZOO_SIM_UNROLL.  Swept inside the full AI step on v5e
+# (tools/sim_unroll_sweep.py, interleaved min-of-5, B=65536, 2026-08-19):
+# 8 -> 38.1M steps/s, 16 -> 42.7M, 32 -> 44.8M, 64 -> 42.5M.  32 is the
+# default: fewer while trips (each pays an HBM carry round trip) outweigh
+# the masked extra sub-iterations until the wasted tail work catches up.
 import os as _os
 
-_UNROLL = int(_os.environ.get("PIKAZOO_SIM_UNROLL", "8"))
+_UNROLL = int(_os.environ.get("PIKAZOO_SIM_UNROLL", "32"))
 
 
-def _sim_loop(x, y, vx, vy, full_rule: bool):
+def _sim_loop(x, y, vx, vy, full_rule: bool, unroll: int = 0):
     """Bounded landing loop over any-shaped int32 state; ``full_rule`` is a
     STATIC flag selecting the main predictor's two-branch net model (strict
     top test + side push-out, ``physics.py:665-676``) vs the power-hit
@@ -118,7 +122,7 @@ def _sim_loop(x, y, vx, vy, full_rule: bool):
         # that traffic proportionally.  Finished lanes are frozen by the
         # masks, so running a few extra sub-iterations past a lane's exit is
         # a no-op; live lanes see exactly the reference iteration sequence.
-        for _ in range(_UNROLL):
+        for _ in range(unroll or _UNROLL):
             carry = one_iteration(carry)
         return carry
 
@@ -134,8 +138,8 @@ def _sim_loop(x, y, vx, vy, full_rule: bool):
 
 
 def landing_sims_any(ball_x: jnp.ndarray, ball_y: jnp.ndarray,
-                     ball_vx: jnp.ndarray, ball_vy: jnp.ndarray
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     ball_vx: jnp.ndarray, ball_vy: jnp.ndarray,
+                     unroll: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shape-generic 7-lane landing simulation.
 
     Inputs may be scalars or arrays of any shape S; returns
@@ -166,7 +170,7 @@ def landing_sims_any(ball_x: jnp.ndarray, ball_y: jnp.ndarray,
     expected = _sim_loop(bx, by,
                          jnp.asarray(ball_vx).astype(jnp.int32),
                          jnp.asarray(ball_vy).astype(jnp.int32),
-                         full_rule=True)
+                         full_rule=True, unroll=unroll)
 
     # Candidate tables from arithmetic: lane k has |x_dir| = (k < 3) and
     # y_dir = (k % 3) - 1 (canonical order "A").
@@ -178,7 +182,8 @@ def landing_sims_any(ball_x: jnp.ndarray, ball_y: jnp.ndarray,
     speed = (cand_abs_xd + 1) * 10
     cand_vx = jnp.where(bx < C.GROUND_HALF_WIDTH, speed, -speed)
     cand_vy = jnp.abs(jnp.asarray(ball_vy).astype(jnp.int32)) * cand_yd * 2
-    candidates = _sim_loop(x, y, cand_vx, cand_vy, full_rule=False)
+    candidates = _sim_loop(x, y, cand_vx, cand_vy, full_rule=False,
+                           unroll=unroll)
 
     return expected, candidates
 

@@ -56,6 +56,13 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    # Platform override for harnesses/tests that launch this CLI as a
+    # subprocess: the axon sitecustomize force-registers the TPU plugin and
+    # overrides JAX_PLATFORMS, so an env var honored through jax.config is
+    # the only reliable way to pin a child process to CPU.
+    if os.environ.get("PIKAZOO_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PIKAZOO_PLATFORM"])
+
     from pikazoo_tpu.envs import EnvConfig, PikaZoo
     from pikazoo_tpu.parallel import (env_sharding, init_distributed,
                                       make_env_mesh, replicated_sharding,

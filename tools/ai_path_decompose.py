@@ -39,19 +39,29 @@ state0, _ = env.reset_batch(jax.random.key(0), B)
 acts = jnp.zeros((B, 2), jnp.int32)
 
 
+def sync(out):
+    # host transfer forces completion (block_until_ready is a no-op on the
+    # axon backend)
+    leaf = jax.tree.leaves(out)[0]
+    _ = int(jax.device_get(leaf).reshape(-1)[0])
+
+
 def timed(label, fn, carry):
     t0 = time.perf_counter()
     out = fn(carry)
-    jax.block_until_ready(out)
+    sync(out)
     print(f"{label}: compile+first {time.perf_counter() - t0:.1f}s",
           flush=True)
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(ITERS):
+        t0 = time.perf_counter()
         out = fn(out)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
+        sync(out)
+        best = min(best, (time.perf_counter() - t0))
+    dt = best
     print(f"{label:34s} {dt * 1e3:9.1f} ms ({B * T / dt / 1e6:8.2f}M "
-          f"steps/s, {dt / T * 1e6:7.1f} us/frame)", flush=True)
+          f"steps/s, {dt / T * 1e6:7.1f} us/frame)  min of {ITERS}",
+          flush=True)
     return out
 
 
