@@ -210,14 +210,15 @@ def _landing_sims_vmap_rule(axis_size, in_batched, ball: BallState):
     assert all(jax.tree.leaves(in_batched)), \
         "landing_sims expects a fully batched BallState under vmap"
     impl = os.environ.get("PIKAZOO_PREDICTOR", "auto")
-    # "auto" avoids pallas when the axon remote-compile tunnel is in play:
-    # standalone kernels compile fine there, but a full XLA program embedding
-    # the Mosaic custom call hangs that compile service (observed 2026-08-17;
-    # set PIKAZOO_PREDICTOR=pallas to force it on healthy direct-TPU hosts).
-    remote_compile = os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
-    use_pallas = (impl == "pallas" or
-                  (impl == "auto" and jax.default_backend() == "tpu"
-                   and not remote_compile))
+    # "auto" = the VMEM-resident Pallas kernel on any TPU backend.  (A
+    # round-2 era axon remote-compile service hung on programs embedding
+    # this kernel, so "auto" used to fall back to lax under the tunnel;
+    # re-verified 2026-08-19: the embedded compile completes in ~6s, the
+    # kernel-vs-lax step evolution is bit-equal on hardware over 300 AI
+    # self-play frames, and the AI step runs 64.6M vs 44.8M env-steps/s at
+    # B=65536.  PIKAZOO_PREDICTOR=lax remains the escape hatch.)
+    use_pallas = (impl == "pallas"
+                  or (impl == "auto" and jax.default_backend() == "tpu"))
     if use_pallas:
         from pikazoo_tpu.core.predict_pallas import landing_sims_batched
         expected, candidates = landing_sims_batched(

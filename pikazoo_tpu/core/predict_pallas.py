@@ -31,9 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pikazoo_tpu.core.predict import landing_sims_any
 
-BLOCK_ROWS = 8
+import os as _os
+
+BLOCK_ROWS = int(_os.environ.get("PIKAZOO_PALLAS_ROWS", 8))
 LANES = 128
-BLOCK_ENVS = BLOCK_ROWS * LANES
 
 
 def _landing_kernel(x_ref, y_ref, vx_ref, vy_ref, exp_ref, cand_ref):
@@ -43,13 +44,22 @@ def _landing_kernel(x_ref, y_ref, vx_ref, vy_ref, exp_ref, cand_ref):
     cand_ref[:] = candidates
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
 def landing_sims_batched(x: jnp.ndarray, y: jnp.ndarray, vx: jnp.ndarray,
-                         vy: jnp.ndarray, interpret: bool = False
+                         vy: jnp.ndarray, interpret: bool = False,
+                         block_rows: int = 0
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B,) ball state -> (expected (B,), candidates (B, 6))."""
+    """(B,) ball state -> (expected (B,), candidates (B, 6)).
+
+    ``block_rows`` (default ``PIKAZOO_PALLAS_ROWS``) sets the envs per grid
+    block (rows x 128 lanes): grid blocks run sequentially on the core and
+    each runs its while loops to its OWN block-max iteration count, so the
+    block size trades per-op tile throughput against how often a slow lane
+    taxes its whole block."""
+    block_rows = block_rows or BLOCK_ROWS
+    block_envs = block_rows * LANES
     B = x.shape[0]
-    padded = (B + BLOCK_ENVS - 1) // BLOCK_ENVS * BLOCK_ENVS
+    padded = (B + block_envs - 1) // block_envs * block_envs
     rows = padded // LANES
 
     def prep(a, fill):
@@ -60,16 +70,16 @@ def landing_sims_batched(x: jnp.ndarray, y: jnp.ndarray, vx: jnp.ndarray,
     xp, yp = prep(x, 216), prep(y, 10_000)
     vxp, vyp = prep(vx, 0), prep(vy, 0)
 
-    grid = rows // BLOCK_ROWS
+    grid = rows // block_rows
     exp, cand = pl.pallas_call(
         _landing_kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 4,
         out_specs=[
-            pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((6, block_rows, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -67,14 +67,18 @@ def test_learner_fast_path_cost_envelope():
 def test_ai_step_cost_envelope():
     """Computer self-play step (BASELINE config 2): the landing sims are
     while-loops whose flops cost_analysis counts once per trip body; a
-    carry-widening or a third sim loop shows up as bytes/flops growth."""
+    carry-widening or a third sim loop shows up as bytes/flops growth.
+
+    flops baseline re-pinned after the landing-sim unroll default moved
+    8 -> 32 (each trip's unrolled body counts 4x the flops; runtime work
+    per reference iteration is unchanged — see core/predict.py)."""
     env = PikaZoo(EnvConfig(auto_reset=True, is_player1_computer=True,
                             is_player2_computer=True))
     state, _ = env.reset_batch(jax.random.key(0), B)
     acts = jnp.zeros((B, 2), jnp.int32)
     by, fl = _cost(env.step_batch, state, acts)
     _assert_envelope(by / B, 5757.0, "AI step_batch bytes/env")
-    _assert_envelope(fl / B, 13508.0, "AI step_batch flops/env")
+    _assert_envelope(fl / B, 34916.0, "AI step_batch flops/env")
 
 
 def test_train_step_cost_envelope():
