@@ -37,17 +37,25 @@ BLOCK_ROWS = int(_os.environ.get("PIKAZOO_PALLAS_ROWS", 8))
 LANES = 128
 
 
-def _landing_kernel(x_ref, y_ref, vx_ref, vy_ref, exp_ref, cand_ref):
+# Sub-iterations per while trip INSIDE the kernel.  The lax fallback wants
+# large unrolls (each trip pays an HBM carry round trip); in VMEM the trip
+# overhead is just the cond reduction, so a smaller unroll wastes fewer
+# masked sub-iterations past each block's exit.
+_KERNEL_UNROLL = int(_os.environ.get("PIKAZOO_PALLAS_UNROLL", 8))
+
+
+def _landing_kernel(unroll, x_ref, y_ref, vx_ref, vy_ref, exp_ref, cand_ref):
     expected, candidates = landing_sims_any(x_ref[:], y_ref[:], vx_ref[:],
-                                            vy_ref[:])
+                                            vy_ref[:], unroll=unroll)
     exp_ref[:] = expected
     cand_ref[:] = candidates
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows",
+                                              "unroll"))
 def landing_sims_batched(x: jnp.ndarray, y: jnp.ndarray, vx: jnp.ndarray,
                          vy: jnp.ndarray, interpret: bool = False,
-                         block_rows: int = 0
+                         block_rows: int = 0, unroll: int = 0
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B,) ball state -> (expected (B,), candidates (B, 6)).
 
@@ -57,6 +65,7 @@ def landing_sims_batched(x: jnp.ndarray, y: jnp.ndarray, vx: jnp.ndarray,
     block size trades per-op tile throughput against how often a slow lane
     taxes its whole block."""
     block_rows = block_rows or BLOCK_ROWS
+    unroll = unroll or _KERNEL_UNROLL
     block_envs = block_rows * LANES
     B = x.shape[0]
     padded = (B + block_envs - 1) // block_envs * block_envs
@@ -72,7 +81,7 @@ def landing_sims_batched(x: jnp.ndarray, y: jnp.ndarray, vx: jnp.ndarray,
 
     grid = rows // block_rows
     exp, cand = pl.pallas_call(
-        _landing_kernel,
+        functools.partial(_landing_kernel, unroll),
         grid=(grid,),
         in_specs=[pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 4,
