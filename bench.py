@@ -43,8 +43,70 @@ if os.environ.get("PIKAZOO_FORCE_CPU") == "1":
 
     _jax.config.update("jax_platforms", "cpu")
 
-REFERENCE_CPU_STEPS_PER_S = 53_237.0  # measured: reference env, batch=1, this host
-REFERENCE_CPU_STEPS_PER_S_AI = 19_742.0
+# Reference-env denominators for vs_baseline.  The recorded values are the
+# round-1 measurements on this host, but the host CPU's effective speed
+# drifts day to day (observed 53k -> 76k steps/s for the same loop), so
+# every bench run RE-MEASURES the reference when /root/reference is present
+# (refresh_baselines) and falls back to the recorded values otherwise.
+# Subprocess rungs inherit the parent's fresh measurement via env vars.
+BASELINES = {
+    "human": float(os.environ.get("PIKAZOO_BASELINE_HUMAN", 53_237.0)),
+    "ai": float(os.environ.get("PIKAZOO_BASELINE_AI", 19_742.0)),
+}
+REFERENCE_CPU_STEPS_PER_S = BASELINES["human"]
+REFERENCE_CPU_STEPS_PER_S_AI = BASELINES["ai"]
+_REFERENCE_PATH = os.environ.get("PIKAZOO_REFERENCE_PATH", "/root/reference")
+
+
+def refresh_baselines(seconds: float = 3.0) -> dict:
+    """Measure the reference env's per-step CPU rate on THIS host, now.
+
+    Runs the reference ``raw_env.step`` loop for ``seconds`` per seat mode
+    (human random actions / both-computer AI).  No-op when the reference
+    repo is absent.  Results land in ``BASELINES`` and the PIKAZOO_BASELINE_*
+    env vars so orchestrated subprocess rungs compute vs_baseline against
+    the same fresh denominators."""
+    if not os.path.isdir(os.path.join(_REFERENCE_PATH, "pikazoo")):
+        return BASELINES
+    if _REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, _REFERENCE_PATH)
+    try:
+        import numpy as _np
+        from pikazoo import pikazoo_v0
+    except Exception:
+        return BASELINES
+
+    def _rate(**kwargs):
+        # Best of 3 windows: this host's effective CPU speed wobbles +-20%
+        # between seconds-apart windows, and the numerators are themselves
+        # best-effort measurements — both sides get their best window.
+        env = pikazoo_v0.env(**kwargs)
+        env.reset()
+        rng = _np.random.default_rng(0)
+        acts = rng.integers(0, 18, size=(4096, 2))
+        best = 0.0
+        for _ in range(3):
+            n = 0
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < seconds / 3:
+                a = {"player_1": int(acts[n % 4096, 0]),
+                     "player_2": int(acts[n % 4096, 1])}
+                env.step(a)
+                n += 1
+                if not env.agents:
+                    env.reset()
+            best = max(best, n / (time.perf_counter() - t0))
+        return best
+
+    try:
+        BASELINES["human"] = _rate()
+        BASELINES["ai"] = _rate(is_player1_computer=True,
+                                is_player2_computer=True)
+        os.environ["PIKAZOO_BASELINE_HUMAN"] = repr(BASELINES["human"])
+        os.environ["PIKAZOO_BASELINE_AI"] = repr(BASELINES["ai"])
+    except Exception:
+        pass
+    return BASELINES
 
 _T0 = time.monotonic()
 _BUDGET_S = float(os.environ.get("PIKAZOO_BENCH_BUDGET_S", "440"))
@@ -92,21 +154,33 @@ def _mk(metric: str, steps_per_s: float, baseline: float) -> dict:
 # Direct (in-process) measurements — one per BASELINE config.
 # --------------------------------------------------------------------------
 
+def _sync(tree) -> None:
+    """Force completion via a host transfer of one scalar element.
+
+    ``jax.block_until_ready`` is NOT a reliable fence on the axon remote
+    backend (observed returning immediately with work still in flight —
+    round-1's 32.7B-steps/s fused-kernel reading and round-2's 19us landing
+    kernel reading were both this artifact); a device_get of any element of
+    the result is."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree.leaves(tree)[0]
+    _ = np.asarray(jax.device_get(leaf)).reshape(-1)[:1]
+
+
 def _time_calls(fn, state, iters: int, block: bool = True) -> float:
     """Time ``iters`` sequential calls of a jitted ``state -> state`` step
     after one untimed compile call; returns elapsed seconds.  ``block=False``
     for host-native (non-JAX) callables."""
-    if block:
-        import jax
-
     state = fn(state)  # compile, not timed
     if block:
-        jax.block_until_ready(state)
+        _sync(state)
     t0 = time.perf_counter()
     for _ in range(iters):
         state = fn(state)
     if block:
-        jax.block_until_ready(state)
+        _sync(state)
     return time.perf_counter() - t0
 
 
@@ -166,11 +240,11 @@ def measure_fused(batch: int, steps: int, iters: int, computer: bool) -> float:
     # cost inside the hard bench budget).
     base = np.asarray(state.step_count)
     final = call(state)  # compile, not timed
-    jax.block_until_ready(final)
+    _sync(final)
     t0 = time.perf_counter()
     for _ in range(iters):
         final = call(final)
-    jax.block_until_ready(final)
+    _sync(final)
     dt = time.perf_counter() - t0
     # Proof of work: every env advanced exactly (1 + iters) * steps frames.
     sc = np.asarray(final.step_count)
@@ -183,19 +257,49 @@ def measure_fused(batch: int, steps: int, iters: int, computer: bool) -> float:
 def measure_batch1(steps: int, iters: int) -> float:
     """Config 1: single env (batch=1), defaults, human agents, PER-STEP loop.
 
-    Engine selection by shape: batch=1 is latency-bound, not throughput-bound,
-    so it is served from the native C++ host engine's SingleStepper — an
-    interactive step+observe every frame, apples-to-apples with the reference
-    measurement (a per-step ``raw_env.step`` Python loop at 53k steps/s) and
-    bit-identical to the JAX kernel (fuzz-parity in test_native_engine.py).
-    The TPU is the engine for the batched axes (configs 2-5); a single
-    interactive match belongs on the host, as in any production serving
-    stack.  PIKAZOO_BATCH1_ENGINE selects: ``native`` (default), ``xla-cpu``
-    (scanned host XLA, 167k/s), ``tpu`` (scanned on-device, pays ~1ms/frame
-    dispatch over this host's remote tunnel).
+    Measures the PettingZoo DICT API of ``compat.raw_env(backend="native")``
+    — the exact drop-in surface the reference benchmark exercises (dict
+    actions in, per-agent obs/reward/termination dicts out, every frame), so
+    vs_baseline is apples-to-apples.  Internally batch=1 is latency-bound,
+    not throughput-bound, so the adapter serves it from the native C++ host
+    engine's SingleStepper (bit-identical to the JAX kernel — fuzz-parity in
+    test_native_engine.py); the TPU is the engine for the batched axes
+    (configs 2-5).  The dict-free ``SingleStepper.step_obs`` loop is ~2x
+    this number (Python dict building + defensive obs copies are the
+    adapter's floor); chunked ``NativeEngine.run()`` reaches ~10M steps/s at
+    batch=1.  PIKAZOO_BATCH1_ENGINE: ``native`` (default; dict API),
+    ``stepper`` (raw SingleStepper loop), ``xla-cpu`` (scanned host XLA),
+    ``tpu`` (scanned on-device; pays ~1ms/frame dispatch over this host's
+    remote tunnel).
     """
     sel = os.environ.get("PIKAZOO_BATCH1_ENGINE", "native")
     if sel == "native":
+        import numpy as np
+
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+        from pikazoo_tpu.compat import parallel_env
+
+        env = parallel_env.env(backend="native", seed=0)
+        env.reset()
+        acts = np.random.default_rng(0).integers(0, 18, (steps, 2))
+        acts = [{"player_1": int(a), "player_2": int(b)} for a, b in acts]
+
+        def run_once(_arg):
+            step = env.step
+            for a in acts:
+                step(a)
+                if not env.agents:
+                    env.reset()
+            return None
+
+        run_once(None)  # warm
+        dt = _time_calls(run_once, None, iters, block=False)
+        return steps * iters / dt
+
+    if sel == "stepper":
         import numpy as np
 
         import jax
@@ -309,42 +413,45 @@ def measure_ppo(batch: int, iters: int) -> float:
     step = jax.jit(train_step, donate_argnums=0)
 
     runner, metrics = step(runner)  # compile
-    jax.block_until_ready(metrics.total_loss)
+    _sync(metrics.total_loss)
     t0 = time.perf_counter()
     for _ in range(iters):
         runner, metrics = step(runner)
-    jax.block_until_ready(metrics.total_loss)
+    _sync(metrics.total_loss)
     return cfg.num_envs * cfg.rollout_length * iters / (time.perf_counter() - t0)
 
 
 _CONFIGS = {
     # name -> (measure fn from argparse args, metric, baseline denominator)
     "batch": (lambda a: measure_env(a.batch, a.steps, a.iters, False),
-              HEADLINE_METRIC, REFERENCE_CPU_STEPS_PER_S),
+              HEADLINE_METRIC, "human"),
     "fused": (lambda a: measure_fused(a.batch, a.steps, a.iters, False),
-              HEADLINE_METRIC, REFERENCE_CPU_STEPS_PER_S),
+              HEADLINE_METRIC, "human"),
     "computer": (lambda a: measure_env(a.batch, a.steps, a.iters, True),
-                 "env_steps_per_s_aggregate_1chip_computer_ai",
-                 REFERENCE_CPU_STEPS_PER_S_AI),
+                 "env_steps_per_s_aggregate_1chip_computer_ai", "ai"),
     "fused_computer": (lambda a: measure_fused(a.batch, a.steps, a.iters, True),
-                       "env_steps_per_s_aggregate_1chip_computer_ai",
-                       REFERENCE_CPU_STEPS_PER_S_AI),
+                       "env_steps_per_s_aggregate_1chip_computer_ai", "ai"),
     "batch1": (lambda a: measure_batch1(a.steps, a.iters),
-               "env_steps_per_s_batch1_1chip", REFERENCE_CPU_STEPS_PER_S),
+               "env_steps_per_s_batch1_1chip", "human"),
     "wrappers": (lambda a: measure_wrappers(a.batch, a.steps, a.iters),
-                 "env_steps_per_s_aggregate_1chip_wrapper_stack",
-                 REFERENCE_CPU_STEPS_PER_S),
+                 "env_steps_per_s_aggregate_1chip_wrapper_stack", "human"),
     "ppo": (lambda a: measure_ppo(a.batch, a.iters),
-            "ppo_env_steps_per_s_full_train_step_1chip",
-            REFERENCE_CPU_STEPS_PER_S),
+            "ppo_env_steps_per_s_full_train_step_1chip", "human"),
 }
+
+
+def _resolve_baseline(key_or_value):
+    return BASELINES[key_or_value] if isinstance(key_or_value, str) \
+        else key_or_value
 
 
 def _run_direct(args) -> None:
     if args.iters is None:
         args.iters = 3
+    if "PIKAZOO_BASELINE_HUMAN" not in os.environ:
+        refresh_baselines()  # direct invocation: measure our own denominator
     fn, metric, baseline = _CONFIGS[args.config]
-    _emit(_mk(metric, fn(args), baseline))
+    _emit(_mk(metric, fn(args), _resolve_baseline(baseline)))
 
 
 # --------------------------------------------------------------------------
@@ -407,7 +514,7 @@ class _Best:
     def __init__(self):
         self.result = None
         self.fallback_metric = HEADLINE_METRIC
-        self.fallback_baseline = REFERENCE_CPU_STEPS_PER_S
+        self.fallback_baseline = BASELINES["human"]
 
     def set_fallback(self, metric: str, baseline: float) -> None:
         self.fallback_metric = metric
@@ -464,6 +571,7 @@ def _cpu_fallback_attempt(args) -> None:
 def _orchestrate(args) -> None:
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGINT, _sig_handler)
+    refresh_baselines()
     healthy = _await_device_health(90)
     if not healthy:
         # Lock in the labeled CPU number FIRST — device rungs during an
@@ -487,6 +595,7 @@ def _orchestrate_all(args) -> None:
     to artifacts/bench_all.json."""
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGINT, _sig_handler)
+    refresh_baselines()
     _await_device_health(90)
     plan = [
         dict(config="batch", batch=262_144, steps=1000, iters=3),
@@ -542,8 +651,9 @@ def main():
         _orchestrate_all(args)
     elif args.computer:
         signal.signal(signal.SIGTERM, _sig_handler)
+        refresh_baselines()
         _BEST.set_fallback("env_steps_per_s_aggregate_1chip_computer_ai",
-                           REFERENCE_CPU_STEPS_PER_S_AI)
+                           BASELINES["ai"])
         _await_device_health(90)
         rungs = [dict(config="computer", batch=16_384, steps=200, iters=2),
                  dict(config="computer", batch=65_536, steps=500, iters=2)]
@@ -560,8 +670,9 @@ def main():
         _BEST.emit_final()
     elif args.ppo:
         signal.signal(signal.SIGTERM, _sig_handler)
+        refresh_baselines()
         _BEST.set_fallback("ppo_env_steps_per_s_full_train_step_1chip",
-                           REFERENCE_CPU_STEPS_PER_S)
+                           BASELINES["human"])
         _await_device_health(90)
         _BEST.offer(_attempt(dict(config="ppo", batch=65_536, iters=3),
                              args.iters))

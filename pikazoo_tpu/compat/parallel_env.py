@@ -61,9 +61,13 @@ class raw_env:  # noqa: N801 — matches the reference class name
         self._env = PikaZoo(self._config)
         # backend="native" serves the per-frame loop from the C++ host engine
         # (bit-identical to the JAX env — production threefry draw slots,
-        # tested in tests/test_native_engine.py) at ~10x the reference's
-        # step rate; batch=1 on an accelerator is pure dispatch latency, so
-        # the interactive path belongs on the host.
+        # tested in tests/test_native_engine.py).  Same-host, same-day
+        # ratios vs the reference's per-step loop (absolute rates drift with
+        # this host's CPU): this dict API ~1.7-2x (Python dict building +
+        # defensive obs copies are its floor), the dict-free SingleStepper
+        # ~2.5-3.5x, chunked NativeEngine.run() ~100x.  Batch=1 on an
+        # accelerator is pure dispatch latency, so the interactive path
+        # belongs on the host.
         assert backend in ("jax", "native"), backend
         self._backend = backend
         if backend == "native":
