@@ -37,11 +37,12 @@ BLOCK_ROWS = int(_os.environ.get("PIKAZOO_PALLAS_ROWS", 8))
 LANES = 128
 
 
-# Sub-iterations per while trip INSIDE the kernel.  The lax fallback wants
-# large unrolls (each trip pays an HBM carry round trip); in VMEM the trip
-# overhead is just the cond reduction, so a smaller unroll wastes fewer
-# masked sub-iterations past each block's exit.
-_KERNEL_UNROLL = int(_os.environ.get("PIKAZOO_PALLAS_UNROLL", 8))
+# Sub-iterations per while trip INSIDE the kernel.  Swept inside the full
+# AI step on v5e (interleaved min-of-5, B=65536, 2026-08-19):
+# 2/4/8/16/32/64/128/256 -> 30.9/43.7/55.3/62.4/66.3/63.9/64.2/59.0M
+# env-steps/s — even in VMEM the per-trip cond reduction and loop plumbing
+# dominate until the masked tail waste catches up at 64+.
+_KERNEL_UNROLL = int(_os.environ.get("PIKAZOO_PALLAS_UNROLL", 32))
 
 
 def _landing_kernel(unroll, x_ref, y_ref, vx_ref, vy_ref, exp_ref, cand_ref):
