@@ -79,6 +79,7 @@ class raw_env:  # noqa: N801 — matches the reference class name
                 is_player2_computer=is_player2_computer, auto_reset=False)
             self._matrix = None
             self._stepper = None
+            self._fast = None  # C-extension dict-API stepper (built lazily)
             self._cols = tuple(FIELDS.index(f) for f in
                                ("score1", "score2", "game_ended",
                                 "draw_counter"))
@@ -130,11 +131,22 @@ class raw_env:  # noqa: N801 — matches the reference class name
                 # Episode 0: construction-time init through the (eager) JAX
                 # reset, then hand the packed state to the C++ engine.  Later
                 # resets run natively — bit-identical (test_native_engine.py).
-                from pikazoo_tpu.native.engine import \
-                    NativeEngine  # noqa: PLC0415
+                from pikazoo_tpu.native import engine as _ne  # noqa: PLC0415
                 self._state, ts = self._env.reset(key)
-                self._matrix = NativeEngine.pack(self._state)
+                self._matrix = _ne.NativeEngine.pack(self._state)
                 self._stepper = self._eng.single_stepper(self._matrix)
+                # The CPython dict-API fast path (native/fastpath.c) serves
+                # the whole PettingZoo step in ONE native call; fall back to
+                # the Python assembly when the extension can't build.
+                try:
+                    self._fast = _ne.make_fast_stepper(
+                        self._matrix, self.scores,
+                        winning_score=self._config.winning_score,
+                        serve_mode=self._eng.serve_mode,
+                        is_p1_computer=self._eng.p1_cpu,
+                        is_p2_computer=self._eng.p2_cpu, auto_reset=0)
+                except (RuntimeError, OSError):
+                    self._fast = None
             else:
                 from pikazoo_tpu.core.rng import key_from_jax  # noqa: PLC0415
                 self._eng.reset(self._matrix,
@@ -190,6 +202,13 @@ class raw_env:  # noqa: N801 — matches the reference class name
         return self._obs_dict(obs), self._infos()
 
     def step(self, actions: Dict[str, int]):
+        if self._backend == "native" and self._fast is not None:
+            out = self._fast.step(actions)
+            if self.render_mode == "human":
+                self.render()
+            if out[5] & 1:  # terminated
+                self.agents = []
+            return out[:5]
         if self._backend == "native":
             obs, rew, flags = self._stepper.step_obs(
                 int(actions["player_1"]), int(actions["player_2"]))

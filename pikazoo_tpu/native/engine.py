@@ -90,6 +90,84 @@ def native_available() -> bool:
     return _lib is not None
 
 
+_fastpath_mod = None
+_fastpath_error: Optional[str] = None
+
+
+def _build_and_load_fastpath():
+    """Build/load the CPython dict-API fast path (fastpath.c).
+
+    A real C extension (CPython API + numpy C API), compiled on demand like
+    the engine itself; requires the engine .so (it dlopens
+    ``pika_step_obs_batch`` from it)."""
+    global _fastpath_mod, _fastpath_error
+    if _fastpath_mod is not None or _fastpath_error is not None:
+        return
+    _build_and_load()
+    if _lib is None:
+        _fastpath_error = f"engine unavailable: {_build_error}"
+        return
+    import sysconfig
+
+    import numpy as np
+
+    src = os.path.join(os.path.dirname(__file__), "fastpath.c")
+    cache_dir = os.environ.get(
+        "PIKAZOO_NATIVE_CACHE",
+        os.path.join(tempfile.gettempdir(), "pikazoo_native"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, "_pika_fastpath.so")
+    if (not os.path.exists(so_path)
+            or os.path.getmtime(so_path) < os.path.getmtime(src)):
+        cmd = ["gcc", "-O2", "-shared", "-fPIC",
+               f"-I{sysconfig.get_paths()['include']}",
+               f"-I{np.get_include()}", src, "-o", so_path, "-ldl"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            err = getattr(e, "stderr", b"") or str(e).encode()
+            _fastpath_error = err.decode(errors="replace")[:2000]
+            return
+    import importlib.machinery
+    import importlib.util
+
+    loader = importlib.machinery.ExtensionFileLoader("_pika_fastpath",
+                                                     so_path)
+    spec = importlib.util.spec_from_loader("_pika_fastpath", loader)
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        loader.exec_module(mod)
+    except ImportError as e:
+        _fastpath_error = str(e)
+        return
+    _fastpath_mod = mod
+
+
+def fastpath_available() -> bool:
+    _build_and_load_fastpath()
+    return _fastpath_mod is not None
+
+
+def make_fast_stepper(state: np.ndarray, scores: list, *,
+                      winning_score: int, serve_mode: int,
+                      is_p1_computer: int, is_p2_computer: int,
+                      auto_reset: int):
+    """Native dict-API stepper bound to row 0 of ``state`` and the shared
+    mutable ``scores`` list.  ``step(actions_dict)`` returns the five
+    PettingZoo dicts plus the flags bitmask, all built in C."""
+    _build_and_load_fastpath()
+    if _fastpath_mod is None:
+        raise RuntimeError(f"fastpath unavailable: {_fastpath_error}")
+    cache_dir = os.environ.get(
+        "PIKAZOO_NATIVE_CACHE",
+        os.path.join(tempfile.gettempdir(), "pikazoo_native"))
+    engine_so = os.path.join(cache_dir, "pika_engine.so")
+    return _fastpath_mod.FastStepper(
+        engine_so, state, scores, winning_score, serve_mode,
+        is_p1_computer, is_p2_computer, auto_reset,
+        FIELDS.index("score1"), FIELDS.index("score2"))
+
+
 class NativeEngine:
     """Batched host engine with the JAX env's exact step semantics.
 

@@ -197,3 +197,44 @@ def test_single_stepper_flags_and_views():
             terminated = True
             break
     assert terminated, "random self-play should finish a 15-point game"
+
+
+def test_fastpath_matches_python_adapter():
+    """The C-extension dict-API step (native/fastpath.c) must produce the
+    exact dicts the Python assembly produces — including the reference's
+    shared-mutable infos["score"] list semantics (pikazoo_env.py:573-574)."""
+    from pikazoo_tpu.compat.parallel_env import raw_env
+    from pikazoo_tpu.native.engine import fastpath_available
+
+    if not fastpath_available():
+        import pytest
+        pytest.skip("fastpath extension unavailable on this host")
+
+    e_fast = raw_env(seed=77, backend="native", winning_score=2)
+    e_py = raw_env(seed=77, backend="native", winning_score=2)
+    assert e_fast._fast is not None
+    e_py._fast = None  # force the Python assembly path
+    rng = np.random.default_rng(9)
+    e_fast.reset()
+    e_py.reset()
+    infos_seen = None
+    for _ in range(20000):
+        acts = {"player_1": int(rng.integers(0, 18)),
+                "player_2": int(rng.integers(0, 18))}
+        o1, r1, t1, u1, i1 = e_fast.step(acts)
+        o2, r2, t2, u2, i2 = e_py.step(dict(acts))
+        for a in ("player_1", "player_2"):
+            np.testing.assert_array_equal(o1[a], o2[a])
+            assert o1[a].dtype == np.int32
+            assert (r1[a], t1[a], u1[a]) == (r2[a], t2[a], u2[a])
+            assert i1[a]["score"] == i2[a]["score"]
+            # Shared mutable list: the SAME object every step, like the
+            # reference's infos (consumers must copy).
+            assert i1[a]["score"] is e_fast.scores
+        assert e_fast.agents == e_py.agents
+        infos_seen = i1
+        if not e_fast.agents:
+            break
+    assert not e_fast.agents, "a 2-point game should have terminated"
+    # Terminal infos still reference the live scores list.
+    assert max(infos_seen["player_1"]["score"]) == 2
