@@ -600,7 +600,7 @@ def _orchestrate_all(args) -> None:
     plan = [
         dict(config="batch", batch=262_144, steps=1000, iters=3),
         dict(config="computer", batch=65_536, steps=500, iters=2),
-        dict(config="wrappers", batch=65_536, steps=500, iters=2),
+        dict(config="wrappers", batch=262_144, steps=1000, iters=2),
         dict(config="batch1", steps=1000, iters=3),
         dict(config="ppo", batch=65_536, iters=3),
     ]

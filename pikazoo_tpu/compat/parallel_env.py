@@ -61,11 +61,11 @@ class raw_env:  # noqa: N801 — matches the reference class name
         self._env = PikaZoo(self._config)
         # backend="native" serves the per-frame loop from the C++ host engine
         # (bit-identical to the JAX env — production threefry draw slots,
-        # tested in tests/test_native_engine.py).  Same-host, same-day
-        # ratios vs the reference's per-step loop (absolute rates drift with
-        # this host's CPU): this dict API ~1.7-2x (Python dict building +
-        # defensive obs copies are its floor), the dict-free SingleStepper
-        # ~2.5-3.5x, chunked NativeEngine.run() ~100x.  Batch=1 on an
+        # tested in tests/test_native_engine.py), and the whole dict-API
+        # step runs in ONE native call when the CPython fast path builds
+        # (native/fastpath.c; ~3.3x the reference's same-run per-step rate;
+        # the pure-Python assembly below is the fallback at ~1.7-2x).
+        # Chunked NativeEngine.run() reaches ~100x.  Batch=1 on an
         # accelerator is pure dispatch latency, so the interactive path
         # belongs on the host.
         assert backend in ("jax", "native"), backend

@@ -112,3 +112,31 @@ def test_vmapped_landing_sims_match_scalar():
         e, c = jax.jit(landing_sims)(b)
         assert int(e) == int(be[i])
         np.testing.assert_array_equal(np.asarray(c), np.asarray(bc)[i])
+
+
+def test_landing_sim_unroll_invariance():
+    """The while-trip unroll factor groups masked sub-iterations; finished
+    lanes are frozen, so every unroll must produce bit-identical landing
+    points (the perf sweeps rely on this)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pikazoo_tpu.core.predict import landing_sims_any
+
+    rng = np.random.default_rng(3)
+    n = 256
+    x = jnp.asarray(rng.integers(20, 413, n), jnp.int32)
+    y = jnp.asarray(rng.integers(-200, 252, n), jnp.int32)
+    vx = jnp.asarray(rng.integers(-20, 21, n), jnp.int32)
+    vy = jnp.asarray(rng.integers(-30, 31, n), jnp.int32)
+    ref_e, ref_c = jax.jit(lambda *a: landing_sims_any(*a, unroll=1))(
+        x, y, vx, vy)
+    # 100+ skipped: XLA's CPU backend takes minutes to compile a while body
+    # with ~100 unrolled sub-iterations (the TPU backend compiles 256 in
+    # seconds); 32 is the production default for both loop flavors.
+    for unroll in (3, 8, 32):
+        e, c = jax.jit(lambda *a, u=unroll: landing_sims_any(*a, unroll=u))(
+            x, y, vx, vy)
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(ref_e))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(ref_c))
