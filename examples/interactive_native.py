@@ -4,7 +4,10 @@ Two ways to run a single match at host speed (an accelerator round trip per
 frame is pure dispatch latency, so batch=1 belongs on the host):
 
 1. the PettingZoo dict API, drop-in for the reference (``backend="native"``)
-2. the raw ``SingleStepper`` (~1.6 us/frame) for the tightest loop
+2. the raw ``SingleStepper`` for the tightest dict-free loop
+
+(With the C fast path built, the dict API itself runs the whole step in one
+native call — see ``pikazoo_tpu/native/fastpath.c``.)
 
 Usage: python examples/interactive_native.py
 """

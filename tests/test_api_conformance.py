@@ -21,6 +21,13 @@ def test_parallel_api_conformance():
     parallel_api_test(env, num_cycles=3000)
 
 
+def test_parallel_api_conformance_native_backend():
+    """The native-engine adapter (C fast path when it builds, Python
+    assembly otherwise) must satisfy the same ParallelEnv contract."""
+    env = compat.env(seed=0, backend="native")
+    parallel_api_test(env, num_cycles=3000)
+
+
 def test_compat_seeded_reproducibility():
     def rollout(seed):
         env = compat.env(seed=seed)
