@@ -6,8 +6,12 @@ B=65536 every iteration streams ~26MB, and the loop runs to the *batch max*
 iteration count (~110 for live self-play states), costing ~16ms/frame.  This
 kernel keeps the entire loop state in VMEM: HBM traffic drops to 4 input
 words + 7 output words per env *total*, and each grid block of envs only runs
-to its own block-max iterations.  Measured: 19µs per call at B=65536 (~800x
-the in-graph loop).
+to its own block-max iterations.  Measured (round 3, host-transfer-synced —
+the round-2 "19us/call" reading was a non-blocking-timing artifact): ~770us
+per call at B=65536 on live self-play states, bounded by the 64 sequential
+grid blocks each running to its block-max iteration count; in the full AI
+step it beats the lax fallback 75.4M vs 44.8M env-steps/s.  Reaching
+sum-of-iterations cost (~100M+) needs live-lane compaction — future work.
 
 The simulation body is the SAME shape-generic function the lax path uses
 (``core.predict.landing_sims_any`` — iota-built constants, int32 masks), so
