@@ -72,3 +72,23 @@ def test_direct_config_emits_single_json_line():
     parsed = json.loads(lines[0])
     assert parsed["metric"] == "env_steps_per_s_aggregate_1chip"
     assert parsed["value"] > 0
+
+
+def test_refresh_baselines_updates_denominators(monkeypatch):
+    """vs_baseline must divide by a same-run reference measurement when the
+    reference repo is present, and propagate to subprocess rungs via env."""
+    bench = _load_bench()
+    monkeypatch.delenv("PIKAZOO_BASELINE_HUMAN", raising=False)
+    monkeypatch.delenv("PIKAZOO_BASELINE_AI", raising=False)
+    before = dict(bench.BASELINES)
+    out = bench.refresh_baselines(seconds=0.3)
+    if not os.path.isdir("/root/reference/pikazoo"):
+        assert out == before  # graceful no-op without the reference
+        return
+    assert out["human"] > 1000, "reference human loop should measure"
+    assert out["ai"] > 500, "reference AI loop should measure"
+    # Subprocess rungs inherit the fresh numbers through the environment.
+    assert float(os.environ["PIKAZOO_BASELINE_HUMAN"]) == out["human"]
+    assert float(os.environ["PIKAZOO_BASELINE_AI"]) == out["ai"]
+    # The AI loop does strictly more work per step than the human loop.
+    assert out["ai"] < out["human"]
