@@ -67,13 +67,18 @@ def refresh_baselines(seconds: float = 3.0) -> dict:
     env vars so orchestrated subprocess rungs compute vs_baseline against
     the same fresh denominators."""
     if not os.path.isdir(os.path.join(_REFERENCE_PATH, "pikazoo")):
+        print("bench: reference repo absent — vs_baseline uses the RECORDED "
+              "round-1 denominators", file=sys.stderr, flush=True)
         return BASELINES
     if _REFERENCE_PATH not in sys.path:
         sys.path.insert(0, _REFERENCE_PATH)
     try:
         import numpy as _np
         from pikazoo import pikazoo_v0
-    except Exception:
+    except Exception as e:
+        print(f"bench: reference import failed ({e!r}) — vs_baseline uses "
+              "the RECORDED round-1 denominators", file=sys.stderr,
+              flush=True)
         return BASELINES
 
     def _rate(**kwargs):
@@ -99,13 +104,19 @@ def refresh_baselines(seconds: float = 3.0) -> dict:
         return best
 
     try:
-        BASELINES["human"] = _rate()
-        BASELINES["ai"] = _rate(is_player1_computer=True,
-                                is_player2_computer=True)
-        os.environ["PIKAZOO_BASELINE_HUMAN"] = repr(BASELINES["human"])
-        os.environ["PIKAZOO_BASELINE_AI"] = repr(BASELINES["ai"])
-    except Exception:
-        pass
+        # Measure both BEFORE assigning: a failure mid-way must not leave a
+        # fresh human denominator paired with a stale AI one.
+        human = _rate()
+        ai = _rate(is_player1_computer=True, is_player2_computer=True)
+    except Exception as e:
+        print(f"bench: reference measurement failed ({e!r}) — vs_baseline "
+              "uses the RECORDED round-1 denominators", file=sys.stderr,
+              flush=True)
+        return BASELINES
+    BASELINES["human"] = human
+    BASELINES["ai"] = ai
+    os.environ["PIKAZOO_BASELINE_HUMAN"] = repr(human)
+    os.environ["PIKAZOO_BASELINE_AI"] = repr(ai)
     return BASELINES
 
 _T0 = time.monotonic()

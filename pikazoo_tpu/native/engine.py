@@ -116,7 +116,11 @@ def _build_and_load_fastpath():
         "PIKAZOO_NATIVE_CACHE",
         os.path.join(tempfile.gettempdir(), "pikazoo_native"))
     os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, "_pika_fastpath.so")
+    # Unlike the C-ABI engine .so, this is a CPython extension: tag the
+    # cache file with the interpreter's ABI so a 3.11-built binary is never
+    # loaded into a 3.12 process (EXT_SUFFIX e.g. '.cpython-312-....so').
+    ext = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    so_path = os.path.join(cache_dir, f"_pika_fastpath{ext}")
     if (not os.path.exists(so_path)
             or os.path.getmtime(so_path) < os.path.getmtime(src)):
         cmd = ["gcc", "-O2", "-shared", "-fPIC",

@@ -84,6 +84,7 @@ static int FastStepper_init(FastStepper *self, PyObject *args,
     self->scores_list = scores;
     self->p1_name = PyUnicode_InternFromString("player_1");
     self->p2_name = PyUnicode_InternFromString("player_2");
+    if (!self->p1_name || !self->p2_name) return -1;
     self->oracle[0] = 0;
     return 0;
 }
@@ -142,9 +143,16 @@ static PyObject *FastStepper_step(FastStepper *self, PyObject *actions) {
         r1 = self->rewards[0];
         PyObject *s1 = PyLong_FromLong(self->state[self->score1_col]);
         PyObject *s2 = PyLong_FromLong(self->state[self->score2_col]);
-        if (!s1 || !s2 ||
-            PyList_SetItem(self->scores_list, 0, s1) < 0 ||  /* steals */
-            PyList_SetItem(self->scores_list, 1, s2) < 0)
+        if (!s1 || !s2) {
+            Py_XDECREF(s1);
+            Py_XDECREF(s2);
+            return NULL;
+        }
+        if (PyList_SetItem(self->scores_list, 0, s1) < 0) {  /* steals s1 */
+            Py_DECREF(s2);
+            return NULL;
+        }
+        if (PyList_SetItem(self->scores_list, 1, s2) < 0)    /* steals s2 */
             return NULL;
     }
 
@@ -185,14 +193,23 @@ static PyObject *FastStepper_step(FastStepper *self, PyObject *actions) {
     }
     /* (obs, rewards, terminations, truncations, infos, flags) — the caller
        handles agent-list emptying and rendering from flags. */
-    PyObject *out = PyTuple_New(6);
-    if (!out) return NULL;
+    PyObject *flags_obj = PyLong_FromLong(self->flags);
+    PyObject *out = flags_obj ? PyTuple_New(6) : NULL;
+    if (!out) {
+        Py_XDECREF(flags_obj);
+        Py_DECREF(obs_d);
+        Py_DECREF(rew_d);
+        Py_DECREF(term_d);
+        Py_DECREF(trunc_d);
+        Py_DECREF(info_d);
+        return NULL;
+    }
     PyTuple_SET_ITEM(out, 0, obs_d);
     PyTuple_SET_ITEM(out, 1, rew_d);
     PyTuple_SET_ITEM(out, 2, term_d);
     PyTuple_SET_ITEM(out, 3, trunc_d);
     PyTuple_SET_ITEM(out, 4, info_d);
-    PyTuple_SET_ITEM(out, 5, PyLong_FromLong(self->flags));
+    PyTuple_SET_ITEM(out, 5, flags_obj);
     return out;
 }
 

@@ -400,6 +400,11 @@ void step_one(int32_t* s, const int32_t* actions, const int32_t* oracle,
     s[P1_WINNER] = s[P2_WINNER] = 0;
     s[P1_GAMEEND] = s[P2_GAMEEND] = 0;
   }
+  // Reward guard for out-of-contract steps (mirrors env_frame's
+  // game_ended_at_entry mask): with auto_reset off, a terminated state
+  // keeps ROUND_END=1, so without this every further step would re-emit
+  // the terminal +-1.  The scoring frame itself has GAME_END==0 here.
+  bool game_ended_at_entry = s[GAME_END] != 0;
   if ((s[ROUND_END] && !s[GAME_END]) || game_reset) {
     round_init(s, &draws, serve_mode);
     s[ROUND_END] = 0;
@@ -453,7 +458,8 @@ void step_one(int32_t* s, const int32_t* actions, const int32_t* oracle,
     }
     s[ROUND_END] = 1;
   }
-  int32_t r1 = s[ROUND_END] ? (s[P2SERVE] ? -1 : 1) : 0;
+  int32_t r1 = (s[ROUND_END] && !game_ended_at_entry)
+                   ? (s[P2SERVE] ? -1 : 1) : 0;
   rewards[0] = r1;
   rewards[1] = -r1;
   flags[0] = (s[GAME_END] ? 1 : 0) | (s[ROUND_END] ? 2 : 0) |

@@ -238,3 +238,47 @@ def test_fastpath_matches_python_adapter():
     assert not e_fast.agents, "a 2-point game should have terminated"
     # Terminal infos still reference the live scores list.
     assert max(infos_seen["player_1"]["score"]) == 2
+
+
+def test_post_termination_rewards_match_jax():
+    """Out-of-contract steps past game end must stay bit-identical across
+    implementations: the JAX env masks the terminal reward on already-ended
+    lanes (env_frame's game_ended_at_entry guard) and the C++ engine mirrors
+    it — this drill steps 10 frames past termination on both."""
+    import jax
+    import jax.numpy as jnp
+
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+    from pikazoo_tpu.native.engine import NativeEngine, native_available
+
+    if not native_available():
+        import pytest
+        pytest.skip("native engine unavailable")
+
+    env = PikaZoo(EnvConfig(winning_score=1, auto_reset=False))
+    state, _ = env.reset(jax.random.key(21))
+    eng = NativeEngine(winning_score=1, auto_reset=False)
+    matrix = NativeEngine.pack(state)
+    step = jax.jit(env.step)
+    rng = np.random.default_rng(4)
+    terminated = False
+    for t in range(8000):
+        acts = rng.integers(0, 18, size=2).astype(np.int32)
+        state, ts = step(state, jnp.asarray(acts))
+        rewards, flags = eng.step(matrix, acts[None])
+        np.testing.assert_array_equal(
+            np.asarray(jnp.stack([ts.rewards[0], ts.rewards[1]])),
+            rewards[0], err_msg=f"reward mismatch at t={t}")
+        assert bool(ts.terminated) == bool(flags[0] & 1), f"t={t}"
+        if terminated:
+            assert rewards[0, 0] == 0 and rewards[0, 1] == 0, \
+                "post-termination steps must not re-emit rewards"
+        if bool(ts.terminated):
+            if terminated:
+                post += 1
+                if post >= 10:
+                    break
+            else:
+                terminated = True
+                post = 0
+    assert terminated and post >= 10

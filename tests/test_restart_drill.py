@@ -46,6 +46,7 @@ def test_kill_and_resume_via_cli(tmp_path):
     deadline = time.time() + 300
     try:
         while time.time() < deadline:
+            time.sleep(0.2)  # don't busy-spin against the child we await
             if proc.poll() is not None:
                 out = proc.stdout.read()
                 raise AssertionError(f"run exited before checkpoint:\n{out}")

@@ -30,8 +30,9 @@ B = int(os.environ.get("PPO_ENVS", 65536))
 T = int(os.environ.get("PPO_T", 256))
 ITERS = int(os.environ.get("ITERS", 3))
 ONLY = os.environ.get("ONLY", "123")
-print(f"[0] B={B} T={T} unroll={os.environ.get('PIKAZOO_SIM_UNROLL', '8')}",
-      flush=True)
+from pikazoo_tpu.core import predict as _predict
+
+print(f"[0] B={B} T={T} unroll={_predict._UNROLL}", flush=True)
 
 env = PikaZoo(EnvConfig(auto_reset=True, is_player1_computer=True,
                         is_player2_computer=True))

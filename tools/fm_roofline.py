@@ -138,16 +138,19 @@ VARIANTS = [("chain", 8, 512), ("phased", 8, 512), ("phased", 8, 1024),
             ("chain", 8, 1024)]
 fns = {v: make_k_mm(*v) for v in VARIANTS}
 best = {v: float("inf") for v in VARIANTS}
+# Chain each variant's W1 into its next invocation: identical-input repeats
+# can be served from the tunnel's remote cache (see SKILL.md).
+w1s = {v: W1 for v in VARIANTS}
 for v, fn in fns.items():
     t0 = time.perf_counter()
-    w1, loss = fn(obs, W1, W2, Wp)
+    w1s[v], loss = fn(obs, w1s[v], W2, Wp)
     _ = float(loss)
     print(f"[c] {v} compile+first {time.perf_counter() - t0:.1f}s",
           flush=True)
 for r in range(ITERS):
     for v, fn in fns.items():
         t0 = time.perf_counter()
-        w1, loss = fn(obs, W1, W2, Wp)
+        w1s[v], loss = fn(obs, w1s[v], W2, Wp)
         _ = float(loss)
         dt = (time.perf_counter() - t0) / K
         best[v] = min(best[v], dt)

@@ -79,14 +79,21 @@ def child(process_id: int, num_processes: int, port: int,
         runner, metrics = step(runner)  # compile
         jax.block_until_ready(metrics.total_loss)
 
+        def _sync(tree):
+            # Host transfer: block_until_ready is not a reliable fence on
+            # remote-attached TPU backends (see bench.py::_sync).
+            import numpy as _np
+            leaf = jax.tree.leaves(tree)[0]
+            _ = _np.asarray(jax.device_get(leaf)).reshape(-1)[:1]
+
         def timed(fn, *args, reps=3):
             out = fn(*args)  # warm (and compile on first use)
-            jax.block_until_ready(out)
+            _sync(out)
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
                 out = fn(*args)
-                jax.block_until_ready(out)
+                _sync(out)
                 best = min(best, time.perf_counter() - t0)
             return best
 
