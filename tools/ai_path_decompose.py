@@ -40,11 +40,7 @@ state0, _ = env.reset_batch(jax.random.key(0), B)
 acts = jnp.zeros((B, 2), jnp.int32)
 
 
-def sync(out):
-    # host transfer forces completion (block_until_ready is a no-op on the
-    # axon backend)
-    leaf = jax.tree.leaves(out)[0]
-    _ = int(jax.device_get(leaf).reshape(-1)[0])
+from _bench_util import sync  # noqa: E402  (single-source sync idiom)
 
 
 def timed(label, fn, carry):

@@ -67,8 +67,7 @@ def make_step(unroll):
     return run
 
 
-def sync(out):
-    _ = int(jax.device_get(jax.tree.leaves(out)[0]).reshape(-1)[0])
+from _bench_util import sync  # noqa: E402  (single-source sync idiom)
 
 
 fns = {u: make_step(u) for u in UNROLLS}
