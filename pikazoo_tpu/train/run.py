@@ -123,7 +123,12 @@ def main(argv=None):
                 jax.block_until_ready(metrics)
         else:
             runner, metrics = step(runner)
-        jax.block_until_ready(metrics.total_loss)
+        # ONE host transfer for the whole metrics tuple: per-field float()
+        # conversions were 8 serial device round trips per update (~200 ms
+        # on a remote-attached TPU — measured 15.1M vs the bench's 25.1M
+        # env-steps/s), and it doubles as the true completion fence
+        # (block_until_ready is unreliable on remote backends).
+        metrics = jax.device_get(metrics)
         meter.tick()
         logger.log(update, {
             "loss": metrics.total_loss,
