@@ -36,10 +36,35 @@ def _decode(tree: Any) -> Any:
 
 
 def save(path: str, state: Any) -> None:
+    """Crash-safe overwrite: orbax's ``force=True`` DELETES the existing
+    checkpoint before finalizing the new one, so a crash mid-save would lose
+    the only recovery point (found by the SIGKILL restart drill).  Write the
+    new checkpoint fully to ``path.new`` first, then swap; at every instant
+    a finalized checkpoint exists at ``path`` or ``path.old`` (the restore
+    side falls back to ``.old``)."""
+    import shutil  # noqa: PLC0415
+
     import orbax.checkpoint as ocp  # noqa: PLC0415
     path = os.path.abspath(path)
+    tmp, old = path + ".new", path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)  # stale tmp from a prior crash
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, _encode(state), force=True)
+        ckptr.save(tmp, _encode(state), force=True)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def latest_restorable(path: str) -> str | None:
+    """The finalized checkpoint to restore from: ``path``, or ``path.old``
+    when a crash landed inside :func:`save`'s swap window."""
+    path = os.path.abspath(path)
+    for candidate in (path, path + ".old"):
+        if os.path.isdir(candidate):
+            return candidate
+    return None
 
 
 def restore(path: str, like: Any) -> Any:

@@ -97,10 +97,10 @@ def main(argv=None):
 
     runner = init_fn(jax.random.key(args.seed))
     start_update = 0
-    if args.checkpoint_dir and os.path.isdir(
-            os.path.join(args.checkpoint_dir, "latest")):
-        runner = ckpt.restore(os.path.join(args.checkpoint_dir, "latest"),
-                              runner)
+    restorable = args.checkpoint_dir and ckpt.latest_restorable(
+        os.path.join(args.checkpoint_dir, "latest"))
+    if restorable:
+        runner = ckpt.restore(restorable, runner)
         start_update = int(np.asarray(runner.update_index))
         print(f"resumed from update {start_update}", flush=True)
     # Replicate everything onto the mesh first (a restored checkpoint comes
