@@ -587,16 +587,30 @@ def _orchestrate(args) -> None:
     if not healthy:
         # Lock in the labeled CPU number FIRST — device rungs during an
         # outage just hang until their clamped timeouts and would leave no
-        # budget for it.  A late tunnel recovery still gets one shot below.
+        # budget for it.
         _cpu_fallback_attempt(args)
-    for rung in _DEFAULT_RUNGS:
-        if _remaining() < 60:
-            break
-        result = _attempt(rung, args.iters)
-        if result is not None and _BEST.result is not None \
-                and "backend" in _BEST.result:
-            _BEST.result = None  # device number beats the CPU fallback
-        _BEST.offer(result)
+    # A transient tunnel outage must never freeze the round's recorded
+    # number at the CPU fallback while budget to retry remains (round 3's
+    # driver run lost its device number exactly this way): keep waiting for
+    # the tunnel and re-attempting the device rungs until a real device
+    # measurement lands or the budget runs out.
+    while _remaining() >= 60:
+        if not healthy:
+            healthy = _await_device_health(
+                max(15.0, _remaining() - _EXIT_RESERVE_S - 120))
+            if not healthy:
+                break  # tunnel stayed down for the whole budget
+        for rung in _DEFAULT_RUNGS:
+            if _remaining() < 60:
+                break
+            result = _attempt(rung, args.iters)
+            if result is None:
+                healthy = False  # hung/crashed rung: re-probe before retry
+            elif _BEST.result is not None and "backend" in _BEST.result:
+                _BEST.result = None  # device number beats the CPU fallback
+            _BEST.offer(result)
+        if _BEST.result is not None and "backend" not in _BEST.result:
+            break  # a real device number is on the board
     _BEST.emit_final()
 
 

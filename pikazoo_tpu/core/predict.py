@@ -202,6 +202,69 @@ def landing_sims(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return _landing_sims_impl(ball)
 
 
+_CANARY_VERDICT: bool | None = None
+
+
+def _pallas_embed_canary_ok() -> bool:
+    """Guard the first kernel-path compile with a killable subprocess canary.
+
+    A round-2-era remote-compile service hung ~45 min on programs embedding
+    the Mosaic landing kernel; the hazard cleared, but a recurrence used to
+    need a human to export ``PIKAZOO_PREDICTOR=lax``.  Now ``auto`` first
+    compiles a tiny production-shaped program (``core._pallas_canary``) in a
+    subprocess under a hard timeout and falls back to lax automatically if
+    it hangs or fails.  The verdict is cached in-process and on disk (6 h on
+    success, 1 h on failure so recovery is retried); set
+    ``PIKAZOO_PALLAS_CANARY=0`` to skip the canary entirely (trust pallas).
+    """
+    global _CANARY_VERDICT
+    if _CANARY_VERDICT is not None:
+        return _CANARY_VERDICT
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    import time
+    import warnings
+
+    if os.environ.get("PIKAZOO_PALLAS_CANARY", "auto") in ("0", "off",
+                                                           "skip"):
+        _CANARY_VERDICT = True
+        return True
+    cache = os.path.join(tempfile.gettempdir(), "pikazoo_pallas_canary.json")
+    now = time.time()
+    try:
+        with open(cache) as f:
+            rec = json.load(f)
+        if now - float(rec["ts"]) < (6 * 3600 if rec["ok"] else 3600):
+            _CANARY_VERDICT = bool(rec["ok"])
+            return _CANARY_VERDICT
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    timeout = float(os.environ.get("PIKAZOO_PALLAS_CANARY_TIMEOUT", "150"))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-m", "pikazoo_tpu.core._pallas_canary"],
+            timeout=timeout, capture_output=True, text=True)
+        ok = out.returncode == 0 and "CANARY_OK" in out.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        ok = False
+    try:
+        with open(cache, "w") as f:
+            json.dump({"ok": ok, "ts": now}, f)
+    except OSError:
+        pass
+    if not ok:
+        warnings.warn(
+            "pikazoo_tpu: embedded Pallas landing-kernel compile canary "
+            "failed or timed out; falling back to the lax predictor for "
+            "this process (retry in <=1 h, or force PIKAZOO_PREDICTOR).",
+            RuntimeWarning, stacklevel=2)
+    _CANARY_VERDICT = ok
+    return ok
+
+
 @landing_sims.def_vmap
 def _landing_sims_vmap_rule(axis_size, in_batched, ball: BallState):
     del axis_size
@@ -216,9 +279,12 @@ def _landing_sims_vmap_rule(axis_size, in_batched, ball: BallState):
     # re-verified 2026-08-19: the embedded compile completes in ~6s, the
     # kernel-vs-lax step evolution is bit-equal on hardware over 300 AI
     # self-play frames, and the AI step runs 64.6M vs 44.8M env-steps/s at
-    # B=65536.  PIKAZOO_PREDICTOR=lax remains the escape hatch.)
+    # B=65536.  A subprocess compile canary now guards the first dispatch —
+    # see _pallas_embed_canary_ok; PIKAZOO_PREDICTOR=lax stays the manual
+    # escape hatch.)
     use_pallas = (impl == "pallas"
-                  or (impl == "auto" and jax.default_backend() == "tpu"))
+                  or (impl == "auto" and jax.default_backend() == "tpu"
+                      and _pallas_embed_canary_ok()))
     if use_pallas:
         from pikazoo_tpu.core.predict_pallas import landing_sims_batched
         expected, candidates = landing_sims_batched(

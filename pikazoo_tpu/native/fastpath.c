@@ -105,6 +105,27 @@ static PyObject *two_dict(PyObject *p1n, PyObject *p2n, PyObject *v1,
     return d;
 }
 
+static int as_action(PyObject *o, long *out) {
+    /* int(o) semantics — the same conversion the Python fallback applies
+     * (parallel_env.py int(actions[...])): exact ints fast-path, then
+     * PyNumber_Long for numpy scalars / floats (truncating) / __int__.
+     * Each operand carries its own error check so the CPython API is never
+     * entered with a pending exception. */
+    long v = PyLong_AsLong(o);
+    if (v == -1 && PyErr_Occurred()) {
+        PyErr_Clear();
+        PyObject *i = PyNumber_Long(o);
+        if (!i)
+            return -1;
+        v = PyLong_AsLong(i);
+        Py_DECREF(i);
+        if (v == -1 && PyErr_Occurred())
+            return -1;
+    }
+    *out = v;
+    return 0;
+}
+
 static PyObject *FastStepper_step(FastStepper *self, PyObject *actions) {
     if (!PyDict_Check(actions)) {
         PyErr_SetString(PyExc_TypeError, "actions must be a dict");
@@ -116,19 +137,9 @@ static PyObject *FastStepper_step(FastStepper *self, PyObject *actions) {
         PyErr_SetString(PyExc_KeyError, "actions need player_1/player_2");
         return NULL;
     }
-    long la1 = PyLong_AsLong(a1);
-    long la2 = PyLong_AsLong(a2);
-    if ((la1 == -1 || la2 == -1) && PyErr_Occurred()) {
-        /* numpy integer scalars etc.: go through __index__ */
-        PyErr_Clear();
-        PyObject *i1 = PyNumber_Index(a1), *i2 = PyNumber_Index(a2);
-        if (!i1 || !i2) { Py_XDECREF(i1); Py_XDECREF(i2); return NULL; }
-        la1 = PyLong_AsLong(i1);
-        la2 = PyLong_AsLong(i2);
-        Py_DECREF(i1);
-        Py_DECREF(i2);
-        if (PyErr_Occurred()) return NULL;
-    }
+    long la1, la2;
+    if (as_action(a1, &la1) < 0 || as_action(a2, &la2) < 0)
+        return NULL;
     self->actions[0] = (int32_t)la1;
     self->actions[1] = (int32_t)la2;
 

@@ -35,19 +35,37 @@ def _decode(tree: Any) -> Any:
     return jax.tree.map(dec, tree, is_leaf=is_enc)
 
 
+def _recover_swap(path: str) -> None:
+    """Promote a finalized stale ``path.new`` left by a crash inside
+    :func:`save`'s swap window.  Orbax finalizes a checkpoint by renaming its
+    own ``*.orbax-checkpoint-tmp-*`` staging dir into place, so ``path.new``
+    existing as a directory means it is complete — and it was written AFTER
+    whatever sits at ``path``, so it is always the newest recovery point."""
+    import shutil  # noqa: PLC0415
+
+    tmp, old = path + ".new", path + ".old"
+    if not os.path.isdir(tmp):
+        return
+    if os.path.exists(path):
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+    os.rename(tmp, path)
+
+
 def save(path: str, state: Any) -> None:
     """Crash-safe overwrite: orbax's ``force=True`` DELETES the existing
     checkpoint before finalizing the new one, so a crash mid-save would lose
     the only recovery point (found by the SIGKILL restart drill).  Write the
     new checkpoint fully to ``path.new`` first, then swap; at every instant
     a finalized checkpoint exists at ``path`` or ``path.old`` (the restore
-    side falls back to ``.old``)."""
+    side falls back to ``.old``).  A finalized ``.new`` from a prior crash is
+    promoted, never deleted — it is the newest recovery point."""
     import shutil  # noqa: PLC0415
 
     import orbax.checkpoint as ocp  # noqa: PLC0415
     path = os.path.abspath(path)
     tmp, old = path + ".new", path + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)  # stale tmp from a prior crash
+    _recover_swap(path)  # a finalized stale .new is newer than path: keep it
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(tmp, _encode(state), force=True)
     shutil.rmtree(old, ignore_errors=True)
@@ -58,9 +76,13 @@ def save(path: str, state: Any) -> None:
 
 
 def latest_restorable(path: str) -> str | None:
-    """The finalized checkpoint to restore from: ``path``, or ``path.old``
-    when a crash landed inside :func:`save`'s swap window."""
+    """The finalized checkpoint to restore from: a promoted ``path.new``
+    (crash inside :func:`save`'s swap window), ``path``, or ``path.old``."""
     path = os.path.abspath(path)
+    try:
+        _recover_swap(path)
+    except OSError:
+        pass  # read-only filesystem etc.: fall through to what exists
     for candidate in (path, path + ".old"):
         if os.path.isdir(candidate):
             return candidate

@@ -240,6 +240,51 @@ def test_fastpath_matches_python_adapter():
     assert max(infos_seen["player_1"]["score"]) == 2
 
 
+def test_fastpath_action_conversion_matches_python_fallback():
+    """Action coercion parity (advisor round-3): the C fast path must apply
+    the same ``int(x)`` semantics as the Python assembly's
+    ``int(actions[...])`` — floats truncate, numpy scalars pass, and
+    non-convertible values raise on BOTH paths — so step behavior never
+    depends on whether the extension built."""
+    import pytest
+
+    from pikazoo_tpu.compat.parallel_env import raw_env
+    from pikazoo_tpu.native.engine import fastpath_available
+
+    if not fastpath_available():
+        pytest.skip("fastpath extension unavailable on this host")
+
+    e_fast = raw_env(seed=5, backend="native", winning_score=2)
+    e_py = raw_env(seed=5, backend="native", winning_score=2)
+    assert e_fast._fast is not None
+    e_py._fast = None
+    e_fast.reset()
+    e_py.reset()
+    # int(7.9) == 7, numpy float scalar likewise, numpy int passes through.
+    cases = [
+        {"player_1": 7.9, "player_2": np.float64(3.2)},
+        {"player_1": np.int64(11), "player_2": np.int32(0)},
+        {"player_1": True, "player_2": 17},
+    ]
+    for acts in cases:
+        o1, r1, t1, u1, _ = e_fast.step(dict(acts))
+        o2, r2, t2, u2, _ = e_py.step(dict(acts))
+        for a in ("player_1", "player_2"):
+            np.testing.assert_array_equal(o1[a], o2[a])
+            assert (r1[a], t1[a], u1[a]) == (r2[a], t2[a], u2[a])
+    # int()-convertible strings convert on both paths (int("3") == 3)...
+    o1, r1, t1, u1, _ = e_fast.step({"player_1": "3", "player_2": 0})
+    o2, r2, t2, u2, _ = e_py.step({"player_1": "3", "player_2": 0})
+    np.testing.assert_array_equal(o1["player_1"], o2["player_1"])
+    # ...and non-convertible values raise the same exception class.
+    for bad, exc in (({"player_1": "x", "player_2": 0}, ValueError),
+                     ({"player_1": None, "player_2": 0}, TypeError)):
+        with pytest.raises(exc):
+            e_fast.step(dict(bad))
+        with pytest.raises(exc):
+            e_py.step(dict(bad))
+
+
 def test_post_termination_rewards_match_jax():
     """Out-of-contract steps past game end must stay bit-identical across
     implementations: the JAX env masks the terminal reward on already-ended

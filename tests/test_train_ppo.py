@@ -82,6 +82,52 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.asarray(r2.env_state.scores))
 
 
+def test_checkpoint_recovers_finalized_stale_new(tmp_path, monkeypatch):
+    """A crash between save()'s two renames leaves the NEWEST finalized
+    checkpoint at ``path.new`` with ``path`` absent; both save() and
+    latest_restorable() must promote it rather than delete/ignore it
+    (advisor round-3 finding: the old save() rmtree'd it, silently losing
+    one checkpoint interval)."""
+    pytest.importorskip("orbax.checkpoint")
+    import os
+
+    import orbax.checkpoint as ocp
+
+    env = PikaZoo(EnvConfig())
+    init_fn, train_step, _ = make_ppo_trainer(env, tiny_cfg())
+    runner = init_fn(jax.random.key(3))
+    runner, _ = jax.jit(train_step)(runner)
+    runner2, _ = jax.jit(train_step)(runner)
+
+    path = str(tmp_path / "ckpt")
+    ckpt.save(path, runner)
+    ckpt.save(path, runner2)
+    # Simulate the crash window: the newest finalized checkpoint stranded
+    # at .new, nothing at path.
+    os.rename(path, path + ".new")
+
+    assert ckpt.latest_restorable(path) == path  # promoted, not ignored
+    restored = ckpt.restore(path, init_fn(jax.random.key(4)))
+    np.testing.assert_array_equal(np.asarray(restored.env_state.scores),
+                                  np.asarray(runner2.env_state.scores))
+    assert int(restored.update_index) == int(runner2.update_index)
+
+    # save() itself must promote (not rmtree) a stranded finalized .new:
+    # strand again, make the orbax write crash, and verify the stranded
+    # state survived as the restorable checkpoint.
+    os.rename(path, path + ".new")
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("simulated mid-save crash")
+
+    monkeypatch.setattr(ocp.PyTreeCheckpointer, "save", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        ckpt.save(path, runner2)
+    assert ckpt.latest_restorable(path) == path
+    survived = ckpt.restore(path, init_fn(jax.random.key(4)))
+    assert int(survived.update_index) == int(runner2.update_index)
+
+
 def test_associative_gae_matches_sequential():
     """compute_gae uses an associative scan (O(log T) passes); its result
     must match the defining sequential recurrence to rounding tolerance."""
