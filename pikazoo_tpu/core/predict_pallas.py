@@ -41,26 +41,33 @@ BLOCK_ROWS = int(_os.environ.get("PIKAZOO_PALLAS_ROWS", 8))
 LANES = 128
 
 
-# Sub-iterations per while trip INSIDE the kernel.  Swept inside the full
-# AI step on v5e (interleaved min-of-5, B=65536, 2026-08-19):
+# Sub-iterations per while trip INSIDE the kernel (0 = per-algorithm
+# default).  For the frame-by-frame loop ("iter"), swept inside the full AI
+# step on v5e (interleaved min-of-5, B=65536, 2026-08-19):
 # 2/4/8/16/32/64/128/256 -> 30.9/43.7/55.3/62.4/66.3/63.9/64.2/59.0M
 # env-steps/s — even in VMEM the per-trip cond reduction and loop plumbing
-# dominate until the masked tail waste catches up at 64+.
-_KERNEL_UNROLL = int(_os.environ.get("PIKAZOO_PALLAS_UNROLL", 32))
+# dominate until the masked tail waste catches up at 64+.  The event-leaping
+# loop ("leap") needs ~10x fewer trips of ~4x the arithmetic, so far fewer
+# leaps per trip are worthwhile.
+_KERNEL_UNROLL = int(_os.environ.get("PIKAZOO_PALLAS_UNROLL", 0))
+_ALGO_KERNEL_UNROLL = {"leap": 1, "iter": 32, "hyb": 32}
 
 
-def _landing_kernel(unroll, x_ref, y_ref, vx_ref, vy_ref, exp_ref, cand_ref):
+def _landing_kernel(unroll, algo, split, x_ref, y_ref, vx_ref, vy_ref,
+                    exp_ref, cand_ref):
     expected, candidates = landing_sims_any(x_ref[:], y_ref[:], vx_ref[:],
-                                            vy_ref[:], unroll=unroll)
+                                            vy_ref[:], unroll=unroll,
+                                            algo=algo, split=split)
     exp_ref[:] = expected
     cand_ref[:] = candidates
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_rows",
-                                              "unroll"))
+                                              "unroll", "algo", "split"))
 def landing_sims_batched(x: jnp.ndarray, y: jnp.ndarray, vx: jnp.ndarray,
                          vy: jnp.ndarray, interpret: bool = False,
-                         block_rows: int = 0, unroll: int = 0
+                         block_rows: int = 0, unroll: int = 0,
+                         algo: str | None = None, split: str | None = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B,) ball state -> (expected (B,), candidates (B, 6)).
 
@@ -69,8 +76,17 @@ def landing_sims_batched(x: jnp.ndarray, y: jnp.ndarray, vx: jnp.ndarray,
     each runs its while loops to its OWN block-max iteration count, so the
     block size trades per-op tile throughput against how often a slow lane
     taxes its whole block."""
+    from pikazoo_tpu.core import predict as _predict
+
     block_rows = block_rows or BLOCK_ROWS
-    unroll = unroll or _KERNEL_UNROLL
+    if algo is None:
+        # "auto" = the frame loop ("iter"): the round-4 in-step A/B measured
+        # the event-leaping ("leap") and hybrid jump+iter ("hyb") loops at
+        # parity or worse on v5e despite ~10x fewer while trips — see
+        # docs/landing_sim_audit.md.
+        algo = _predict._ALGO if _predict._ALGO != "auto" else "iter"
+    # Mixed algos ("A,B") keep unroll=0 so each loop takes its own default.
+    unroll = unroll or _KERNEL_UNROLL or _ALGO_KERNEL_UNROLL.get(algo, 0)
     block_envs = block_rows * LANES
     B = x.shape[0]
     padded = (B + block_envs - 1) // block_envs * block_envs
@@ -86,7 +102,7 @@ def landing_sims_batched(x: jnp.ndarray, y: jnp.ndarray, vx: jnp.ndarray,
 
     grid = rows // block_rows
     exp, cand = pl.pallas_call(
-        functools.partial(_landing_kernel, unroll),
+        functools.partial(_landing_kernel, unroll, algo, split),
         grid=(grid,),
         in_specs=[pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 4,
