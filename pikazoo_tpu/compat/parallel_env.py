@@ -50,6 +50,7 @@ class raw_env:  # noqa: N801 — matches the reference class name
                  seed: Optional[int] = None,
                  render_rng_coupled: bool = False,
                  sprite_dir: Optional[str] = None,
+                 render_style: Optional[str] = None,
                  backend: str = "jax"):
         self.possible_agents = ["player_1", "player_2"]
         self.agents = self.possible_agents[:]
@@ -107,7 +108,8 @@ class raw_env:  # noqa: N801 — matches the reference class name
         draw_source = self._coupled_draw if self._render_rng_coupled else None
         self._renderer = Renderer(render_mode, seed=seed & 0xFFFFFFFF,
                                   sprite_dir=sprite_dir,
-                                  draw_source=draw_source)
+                                  draw_source=draw_source,
+                                  style=render_style)
 
     # ------------------------------------------------------------ spaces --
     @functools.lru_cache(maxsize=None)

@@ -2,16 +2,18 @@
 
 Consumes an :class:`~pikazoo_tpu.envs.pika_volley.EnvState` and draws the
 432x304 scene with numpy — court, net pillar, both players (with state/facing
-cues), ball with rotation marker and hyper-ball tint, power-hit trail from the
-ball's position history, shrinking punch effect, and score boards (reference
-draw path: ``pikazoo_env.py:250-362``).
+cues), ball with rotation frames and hyper/trail afterimages, shrinking punch
+effect, and score boards (reference draw path: ``pikazoo_env.py:250-362``).
 
-Sprites are procedural by default: the reference's PNG assets are not copied
-into this repo, so the scene is geometrically faithful (same positions,
-sizes, flip logic) but stylized.  Users with the original assets can pass
-``sprite_dir=`` (or set ``PIKAZOO_SPRITE_DIR``) for pixel-faithful frames
-through :mod:`pikazoo_tpu.render.sprites`.  ``human`` mode blits through
-pygame; ``rgb_array`` returns an (H, W, 3) uint8 frame like the reference.
+The default output is the repo's ORIGINAL pixel-art sprite set
+(:mod:`pikazoo_tpu.render.pixel_art`, generated in code — the reference's
+third-party PNG assets are not copied into this repo), drawn in the
+reference's exact layout/order by :mod:`pikazoo_tpu.render.sprites`.  Users
+with the original assets can pass ``sprite_dir=`` (or set
+``PIKAZOO_SPRITE_DIR``) for pixel-faithful frames; ``style="flat"`` (or
+``PIKAZOO_RENDER_STYLE=flat``) selects the minimal flat-geometry style.
+``human`` mode blits through pygame; ``rgb_array`` returns an (H, W, 3)
+uint8 frame like the reference.
 
 RNG coupling: in the reference, the decorative clouds/wave consume draws from
 the *physics* generator, so rendering perturbs gameplay streams
@@ -24,6 +26,8 @@ draws and the per-frame engine draw order.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -102,7 +106,8 @@ class Renderer:
     """Stateful host renderer; one instance per (compat) env."""
 
     def __init__(self, render_mode: str | None = None, seed: int = 0,
-                 sprite_dir: str | None = None, draw_source=None):
+                 sprite_dir: str | None = None, draw_source=None,
+                 style: str | None = None):
         self.render_mode = render_mode
         self._screen = None
         self._clock = None
@@ -114,8 +119,19 @@ class Renderer:
         # pikazoo_env.py:475-479): 40 draws from the coupled stream when a
         # draw_source is given, private RNG otherwise.
         self._cloud_wave = CloudWave(self._draw_source)
+        # Sprite source: user assets > generated pixel art (default) > the
+        # flat geometric style ("flat", or PIKAZOO_RENDER_STYLE=flat).
+        style = style or os.environ.get("PIKAZOO_RENDER_STYLE", "pixel")
+        if style not in ("pixel", "flat"):
+            raise ValueError(f"unknown render style {style!r} "
+                             "(expected 'pixel' or 'flat')")
         resolved = find_sprite_dir(sprite_dir)
-        self._sprites = SpriteSet(resolved) if resolved else None
+        if resolved:
+            self._sprites = SpriteSet.from_dir(resolved)
+        elif style == "pixel":
+            self._sprites = SpriteSet.from_pixel_art()
+        else:
+            self._sprites = None
 
     def _scalar(self, v) -> int:
         return int(np.asarray(v))

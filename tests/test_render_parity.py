@@ -126,12 +126,12 @@ def test_sprite_renderer_loads_user_supplied_assets():
 
 
 def test_procedural_layout_regression():
-    """Geometry-faithful positions: ball, players, net, ground strata and
-    scoreboard land on the expected pixels (reference layout
-    pikazoo_env.py:250-362)."""
+    """Geometry-faithful positions in the flat style: ball, players, net,
+    ground strata and scoreboard land on the expected pixels (reference
+    layout pikazoo_env.py:250-362)."""
     env = PikaZoo(EnvConfig())
     state, _ = env.reset(jax.random.key(0))
-    r = Renderer("rgb_array")
+    r = Renderer("rgb_array", style="flat")
     frame = r.render(state)
     assert frame.shape == (304, 432, 3)
 
