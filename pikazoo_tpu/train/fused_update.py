@@ -230,16 +230,26 @@ _FM_COLS = int(_os.environ.get("PIKAZOO_FM_C", 1024))
 # 19.36 — the kernel is MXU-bound, so halving VPU backward bytes buys
 # nothing and f32 keeps the extra mantissa.  Off by default; kept as a knob.
 _FM_BWD_BF16 = _os.environ.get("PIKAZOO_FM_BWD_BF16", "0") == "1"
+# int8 matmul operands ("int8") vs bf16 ("none"): the v5e MXU runs int8 at
+# 2x bf16 throughput, and the kernel is MXU-bound (the roofline audit in
+# docs/ppo_roofline.md).  Every dot feeds int8 operands with int32
+# accumulation; all loss math, bias grads and weight-grad accumulators stay
+# f32.  Scales: obs lives in [0, 1] (normalize_obs) and tanh activations in
+# [-1, 1], so forward activations use the static scale 127; weights get one
+# dynamic per-tensor scale per grad step (quantized outside the kernel);
+# backward activation gradients get one dynamic per-tile max-abs scale.
+_FM_QUANT = _os.environ.get("PIKAZOO_FM_QUANT", "none")
 
 
 def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
                clip_eps: float, value_coef: float, entropy_coef: float,
-               inv_m: float, ft: int, bwd_bf16: bool, *refs):
+               inv_m: float, ft: int, bwd_bf16: bool, quant: bool, *refs):
     """Grid cell: ft frames x C env-columns -> accumulate grads + losses.
 
     refs layout: obs + 5 scalar inputs, hidden weights/biases, then the
     MERGED head (wpv (H, A+1) bf16, bpv (A+1, 1) f32 — policy columns then
-    the value column), then outputs (hidden grads, dwpv, dbpv, losses).
+    the value column), [quant only: sw (1, 8) f32 per-weight dequant
+    scales], then outputs (hidden grads, dwpv, dbpv, losses).
     Every block is feature-major: obs (ft, F, C), scalars (ft, C).
 
     The merged head runs policy logits and the value in ONE (A+1)-row
@@ -248,13 +258,30 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
     degenerate-dot bug used to force (see git history for the split form).
     Row A of the head output is the value; softmax/entropy mask it out via
     the row iota.
+
+    ``quant`` (int8 mode): the weight refs hold int8 tensors (dequant scale
+    ``sw[0, l]``), every dot runs int8 x int8 -> int32 on the MXU, and the
+    forward/backward activations are requantized per use (static scale 127
+    forward — obs in [0, 1], tanh in [-1, 1]; dynamic per-tile max-abs
+    scale backward).  Loss math, bias grads and all accumulators stay f32.
     """
     L = num_hidden
     (obs_ref, act_ref, lpold_ref, vold_ref, adv_ref, tgt_ref) = refs[:6]
     w_refs = refs[6:6 + L]
     b_refs = refs[6 + L:6 + 2 * L]
     wpv_ref, bpv_ref = refs[6 + 2 * L:8 + 2 * L]
-    out = refs[8 + 2 * L:]
+    n_in = 8 + 2 * L
+    sw_ref = refs[n_in] if quant else None
+    extra = 1 if quant else 0
+    if quant == "fwd":
+        # fwd-only mode ships the bf16 weights too (~90 KB) so the stock
+        # bf16 backward runs untouched on real-valued operands.
+        wbf_refs = refs[n_in + 1:n_in + 1 + L]
+        wpvbf_ref = refs[n_in + 1 + L]
+        extra = 2 + L
+    else:
+        wbf_refs, wpvbf_ref = w_refs, wpv_ref
+    out = refs[n_in + extra:]
     dw_refs = out[:L]
     db_refs = out[L:2 * L]
     dwpv_ref, dbpv_ref, loss_ref = out[2 * L:]
@@ -271,6 +298,22 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
     c10 = (((1,), (0,)), ((), ()))   # W dY: contract output dim with rows
     c11 = (((1,), (1,)), ((), ()))   # x dh^T: contract the C columns
 
+    i32 = jnp.int32
+    s_in = 1.0 / 127.0           # static dequant scale of fwd activations
+    inv127sq = 1.0 / (127.0 * 127.0)
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+
+    def _sw(l):
+        """Per-weight dequant scale, (1, 1) f32, from the (1, 8) scales row."""
+        return jnp.sum(jnp.where(col8 == l, sw_ref[...], 0.0),
+                       axis=1, keepdims=True)
+
+    def _dyn_q(t):
+        """Dynamic per-tile symmetric int8: (t_q, dequant (1,1) = amax/127)."""
+        sa = jnp.maximum(jnp.max(jnp.abs(t), axis=(0, 1), keepdims=True),
+                         1e-30)
+        return jnp.round(t * (127.0 / sa)).astype(jnp.int8), sa * s_in
+
     policy_s = 0.0
     value_s = 0.0
     entropy_s = 0.0
@@ -281,16 +324,36 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
         # holding both the f32 activation and its bf16 round triggers a
         # Mosaic verifier bug (bf16->f32 'vector.broadcast' @ equal shapes).
         hs_b = []
-        h_b = x
-        for l in range(L):
-            pre = jax.lax.dot_general(w_refs[l][...], h_b, c00,
-                                      preferred_element_type=f32) \
-                + b_refs[l][...]                          # (H, C)
-            h_b = _act(pre, activation).astype(jnp.bfloat16)
-            hs_b.append(h_b)
-        heads = jax.lax.dot_general(wpv_ref[...], h_b, c00,
-                                    preferred_element_type=f32) \
-            + bpv_ref[...]                                # (A+1, C)
+        if quant:
+            # Forward, int8 operands: obs is in [0, 1] and tanh activations
+            # in [-1, 1], so the static scale 127 loses nothing; the weight
+            # dequant scale rides the bias add.  hs_b holds int8 tiles in
+            # full-int8 mode, bf16 tiles in fwd-only mode (the backward
+            # then runs the stock bf16 chain on them).
+            fwd_only = quant == "fwd"
+            h_q = jnp.round(x.astype(f32) * 127.0).astype(jnp.int8)
+            x_q = h_q
+            for l in range(L):
+                acc = jax.lax.dot_general(w_refs[l][...], h_q, c00,
+                                          preferred_element_type=i32)
+                pre = acc.astype(f32) * (_sw(l) * s_in) + b_refs[l][...]
+                h_f = _act(pre, activation)
+                h_q = jnp.round(h_f * 127.0).astype(jnp.int8)
+                hs_b.append(h_f.astype(jnp.bfloat16) if fwd_only else h_q)
+            heads = jax.lax.dot_general(wpv_ref[...], h_q, c00,
+                                        preferred_element_type=i32) \
+                .astype(f32) * (_sw(L) * s_in) + bpv_ref[...]
+        else:
+            h_b = x
+            for l in range(L):
+                pre = jax.lax.dot_general(w_refs[l][...], h_b, c00,
+                                          preferred_element_type=f32) \
+                    + b_refs[l][...]                      # (H, C)
+                h_b = _act(pre, activation).astype(jnp.bfloat16)
+                hs_b.append(h_b)
+            heads = jax.lax.dot_general(wpv_ref[...], h_b, c00,
+                                        preferred_element_type=f32) \
+                + bpv_ref[...]                            # (A+1, C)
         row = jax.lax.broadcasted_iota(jnp.int32, heads.shape, 0)
         is_logit = row < num_actions                      # value row = A
         value = rowsum(jnp.where(is_logit, 0.0, heads))   # (1, C)
@@ -336,6 +399,40 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
         # value row, so the formula is exactly 0 there), row A carries dvalue.
         dheads = jnp.where(is_logit, dlogits, dvalue)     # (A+1, C)
 
+        if quant == "full":
+            # Backward: the two HEAD dots stay bf16 — they are K=A+1 (tiny
+            # MXU share), and dheads mixes the large value-row entries with
+            # the ~50x smaller policy-row entries, so one shared dynamic
+            # scale would crush the policy gradient (measured cos 0.20 at
+            # learner scale).  The heavy (H, H, C) dpre chain runs int8
+            # with per-tile dynamic scales; weight-grad ACCUMULATORS stay
+            # f32 (each int32 partial dot is dequantized before the add)
+            # and bias grads are exact f32.
+            dheads_b = dheads.astype(jnp.bfloat16)
+            h_top = (hs_b[-1].astype(jnp.bfloat16)
+                     * jnp.bfloat16(s_in))                # dequant tanh out
+            dwpv_ref[...] += jax.lax.dot_general(
+                h_top, dheads_b, c11, preferred_element_type=f32)
+            dbpv_ref[...] += colsum(dheads)               # (A+1, 1)
+            dh = jax.lax.dot_general(
+                wpv_ref[...].astype(jnp.bfloat16), dheads_b, c10,
+                preferred_element_type=f32) * _sw(L)      # (H, C)
+            for l in range(L - 1, -1, -1):
+                h_f = hs_b[l].astype(f32) * s_in          # dequant tanh out
+                dpre = dh * _dact(h_f, activation)
+                dp_q, k_dp = _dyn_q(dpre)
+                below = hs_b[l - 1] if l > 0 else x_q     # int8, scale 1/127
+                dw_refs[l][...] += jax.lax.dot_general(
+                    below, dp_q, c11,
+                    preferred_element_type=i32).astype(f32) * (k_dp * s_in)
+                db_refs[l][...] += colsum(dpre)           # (H, 1)
+                if l > 0:
+                    dh = jax.lax.dot_general(
+                        w_refs[l][...], dp_q, c10,
+                        preferred_element_type=i32).astype(f32) \
+                        * (_sw(l) * k_dp)
+            continue
+
         dheads_b = dheads.astype(jnp.bfloat16)
         dwpv_ref[...] += jax.lax.dot_general(hs_b[-1], dheads_b, c11,
                                              preferred_element_type=f32)
@@ -349,7 +446,7 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
             # elementwise chain, entered via an explicit cast.
             bf = jnp.bfloat16
             dh_b = jax.lax.dot_general(
-                wpv_ref[...], dheads_b, c10,
+                wpvbf_ref[...], dheads_b, c10,
                 preferred_element_type=f32).astype(bf)
             for l in range(L - 1, -1, -1):
                 dpre_b = dh_b * _dact(hs_b[l], activation)
@@ -359,10 +456,10 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
                 db_refs[l][...] += colsum(dpre_b.astype(f32))
                 if l > 0:
                     dh_b = jax.lax.dot_general(
-                        w_refs[l][...], dpre_b, c10,
+                        wbf_refs[l][...], dpre_b, c10,
                         preferred_element_type=f32).astype(bf)
         else:
-            dh = jax.lax.dot_general(wpv_ref[...], dheads_b, c10,
+            dh = jax.lax.dot_general(wpvbf_ref[...], dheads_b, c10,
                                      preferred_element_type=f32)   # (H, C)
             for l in range(L - 1, -1, -1):
                 h_f = hs_b[l].astype(f32)
@@ -373,7 +470,7 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
                     below, dpre_b, c11, preferred_element_type=f32)
                 db_refs[l][...] += colsum(dpre)           # (H, 1)
                 if l > 0:
-                    dh = jax.lax.dot_general(w_refs[l][...], dpre_b, c10,
+                    dh = jax.lax.dot_general(wbf_refs[l][...], dpre_b, c10,
                                              preferred_element_type=f32)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
@@ -393,7 +490,7 @@ def _pick_tile(n: int, want: int, floor: int = 8) -> int:
 @functools.partial(jax.jit, static_argnames=(
     "num_actions", "activation", "clip_eps", "value_coef", "entropy_coef",
     "interpret", "total_rows", "frames_per_cell", "cols_per_cell",
-    "bwd_bf16"))
+    "bwd_bf16", "quant"))
 def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
                        action: jnp.ndarray, logp_old: jnp.ndarray,
                        value_old: jnp.ndarray, adv_norm: jnp.ndarray,
@@ -403,7 +500,8 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
                        total_rows: int = 0,
                        frames_per_cell: Optional[int] = None,
                        cols_per_cell: Optional[int] = None,
-                       bwd_bf16: Optional[bool] = None
+                       bwd_bf16: Optional[bool] = None,
+                       quant: Optional[str] = None
                        ) -> Tuple[Dict[str, Any], jnp.ndarray]:
     """Feature-major fused PPO minibatch gradient.
 
@@ -412,9 +510,12 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
     (the layout the rollout's ``step_batch_learner_fm`` emits), the per-row
     arrays are (T, 2B).  Returns ``(grads, losses)`` identically.
 
-    ``frames_per_cell``/``cols_per_cell``/``bwd_bf16`` override the
-    module-level tile/precision defaults (PIKAZOO_FM_FT / PIKAZOO_FM_C /
-    PIKAZOO_FM_BWD_BF16) per call — the probe tooling sweeps them.
+    ``frames_per_cell``/``cols_per_cell``/``bwd_bf16``/``quant`` override
+    the module-level tile/precision defaults (PIKAZOO_FM_FT / PIKAZOO_FM_C
+    / PIKAZOO_FM_BWD_BF16 / PIKAZOO_FM_QUANT) per call — the probe tooling
+    sweeps them.  ``quant="int8"`` runs every matmul with int8 operands on
+    the MXU (2x bf16 throughput on v5e); requires ``activation="tanh"``
+    (the static forward scale assumes [-1, 1] activations).
     """
     from pikazoo_tpu.train.networks import dense_layers
 
@@ -425,6 +526,15 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
     c = _pick_tile(b2, cols_per_cell or _FM_COLS, floor=128)
     if bwd_bf16 is None:
         bwd_bf16 = _FM_BWD_BF16
+    if quant is None:
+        quant = _FM_QUANT
+    if quant not in ("none", "int8", "int8fwd"):
+        raise ValueError(f"unknown quant mode {quant!r}")
+    use_q = quant != "none"
+    kq = False if not use_q else ("full" if quant == "int8" else "fwd")
+    if use_q and activation != "tanh":
+        raise ValueError("int8 quant requires activation='tanh' (the "
+                         "static forward scale assumes [-1, 1] outputs)")
     inv_m = 1.0 / (total_rows or t_mb * b2)
 
     obs_fm = obs.astype(jnp.bfloat16)                      # (T, F, 2B)
@@ -434,6 +544,25 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
     # Merged head: policy columns then the value column (kernel docstring).
     wpv = jnp.concatenate([w_b[L], w_b[L + 1]], axis=1)    # (H, A+1) bf16
     bpv = jnp.concatenate([b_c[L], b_c[L + 1]], axis=0)    # (A+1, 1) f32
+    sw = None
+    bf_extra = []                   # fwd-only mode: bf16 weights for the bwd
+    if use_q:
+        # Per-tensor symmetric int8 weights, quantized from the f32 params
+        # (not their bf16 casts); dequant scales ship as one (1, 8) row.
+        def _qw(t):
+            t = t.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(t)), 1e-30) / 127.0
+            return jnp.round(t / s).astype(jnp.int8), s
+
+        wpv_f = jnp.concatenate([w[L].astype(jnp.float32),
+                                 w[L + 1].astype(jnp.float32)], axis=1)
+        qs = [_qw(t) for t in [*w[:L], wpv_f]]
+        if kq == "fwd":
+            bf_extra = [*w_b[:L], wpv]
+        w_b = [q for q, _ in qs[:L]]                       # int8 hidden w
+        wpv = qs[L][0]                                     # int8 merged head
+        sw = jnp.zeros((1, 8), jnp.float32)
+        sw = sw.at[0, :L + 1].set(jnp.stack([s for _, s in qs]))
 
     obs_spec = pl.BlockSpec((ft, f, c), lambda i, j: (i, 0, j),
                             memory_space=pltpu.VMEM)
@@ -448,7 +577,9 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
     in_specs = ([obs_spec, sc_spec, sc_spec, sc_spec, sc_spec, sc_spec]
                 + [whole(x.shape) for x in w_b[:L]]
                 + [whole(x.shape) for x in b_c[:L]]
-                + [whole(wpv.shape), whole(bpv.shape)])
+                + [whole(wpv.shape), whole(bpv.shape)]
+                + ([whole((1, 8))] if use_q else [])
+                + [whole(x.shape) for x in bf_extra])
     a1 = num_actions + 1
     out_shapes = ([jax.ShapeDtypeStruct(x.shape, jnp.float32)
                    for x in w[:L]]
@@ -461,7 +592,15 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
 
     kernel = functools.partial(_fm_kernel, L, num_actions, activation,
                                clip_eps, value_coef, entropy_coef, inv_m,
-                               ft, bwd_bf16)
+                               ft, bwd_bf16, kq)
+    # The int8 kernel's extra temporaries (quantized copies + dequant
+    # products) overflow the default 16 MB scoped-vmem budget at C=1024 by
+    # ~3%; raise the per-kernel limit (v5e has 128 MB of VMEM) instead of
+    # shrinking the tile — C=512 measurably regresses the matmul floor.
+    extra = {}
+    if use_q and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     outs = pl.pallas_call(
         kernel,
         grid=(t_mb // ft, b2 // c),
@@ -469,8 +608,10 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        **extra,
     )(obs_fm, action.astype(jnp.int32), sc(logp_old), sc(value_old),
-      sc(adv_norm), sc(target), *w_b[:L], *b_c[:L], wpv, bpv)
+      sc(adv_norm), sc(target), *w_b[:L], *b_c[:L], wpv, bpv,
+      *([sw] if use_q else []), *bf_extra)
 
     # Split the merged-head grads back to the params layout expected by
     # _pack_grads: dwpv (H, A+1) -> dwp | dwv, dbpv (A+1, 1) -> dbp | dbv.

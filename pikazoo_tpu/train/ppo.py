@@ -67,6 +67,17 @@ class PPOConfig:
     # matmuls in f32, so they are not bitwise-identical to the bf16 XLA
     # path.
     fused_update: str = "auto"
+    # int8 MXU operands inside the feature-major fused kernel: "none"
+    # (bf16, default), "int8fwd" (forward dots int8, stock bf16 backward)
+    # or "int8" (heavy backward dots int8 too, dynamic per-tile scales).
+    # Measured on v5e (tools/fm_variants_probe.py, 2026-08-20): the MXU
+    # runs int8 at 2x bf16 (matmuls-only probe 1.47x) but the per-layer
+    # requantization sits on the matmul critical path, so end-to-end the
+    # grad step moves 18.65 -> 18.10 ms (int8fwd, +3%) / 19.35 (int8, -4%).
+    # Gradient fidelity: cos >= 0.997 per tensor vs the bf16 kernel.
+    # Kept as validated opt-in modes; requires activation="tanh" and the
+    # feature-major kernel.
+    update_quant: str = "none"
     # Shuffle the trajectory's time axis before the minibatch split.  Each
     # minibatch already mixes T_mb frames x 2B env-seats (millions of
     # near-i.i.d. rows), so the frame-level shuffle adds no measurable
@@ -323,6 +334,8 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
                   value_coef=cfg.value_coef,
                   entropy_coef=cfg.entropy_coef,
                   interpret=fused_interpret)
+        if fused_fm:
+            kw["quant"] = cfg.update_quant
         data = (mtraj.obs, mtraj.action, mtraj.log_prob, mtraj.value,
                 adv_n, mtarget)
         total_rows = mtraj.action.shape[0] * mtraj.action.shape[1]

@@ -312,3 +312,70 @@ def test_train_step_fm_mesh_matches_single():
     np.testing.assert_allclose(np.asarray(_flat(out_single.params)),
                                np.asarray(_flat(out_mesh.params)),
                                rtol=2e-3, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized modes ("int8" / "int8fwd"): opt-in MXU-int8 operands.
+# Hardware audit 2026-08-20 (tools/fm_variants_probe.py): the matmuls-only
+# sequence runs 1.47x faster in int8 on v5e, but requantization sits on the
+# matmul critical path, so end-to-end the grad step is +3% (int8fwd) / -4%
+# (int8).  These tests pin the QUALITY contract: per-tensor gradient
+# direction within cos >= 0.99 of the bf16 kernel and losses within 1%.
+
+def _fused_fm_q(params, obs, action, logp_old, value_old, adv_n, target,
+                quant):
+    from pikazoo_tpu.train.fused_update import fused_ppo_grads_fm
+    obs_fm = jnp.swapaxes(_fm_shape(obs), 1, 2)            # (T, F, B2)
+    return fused_ppo_grads_fm(
+        params, obs_fm, _fm_shape(action), _fm_shape(logp_old),
+        _fm_shape(value_old), _fm_shape(adv_n), _fm_shape(target),
+        num_actions=A, activation="tanh", clip_eps=CLIP, value_coef=VCOEF,
+        entropy_coef=ECOEF, interpret=True, quant=quant)
+
+
+@pytest.mark.parametrize("quant", ["int8", "int8fwd"])
+def test_fm_int8_grads_track_bf16(quant):
+    net, params, obs, action, logp_old, v_old, adv_n, target = _make_inputs()
+    g0, l0 = _fused_fm(params, obs, action, logp_old, v_old, adv_n, target)
+    g1, l1 = _fused_fm_q(params, obs, action, logp_old, v_old, adv_n,
+                         target, quant)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=0.01,
+                               atol=1e-4)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g0)[0],
+            jax.tree_util.tree_flatten_with_path(g1)[0]):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+        assert cos > 0.99, (path, cos)
+        rel = np.linalg.norm(b) / (np.linalg.norm(a) + 1e-30)
+        assert 0.9 < rel < 1.1, (path, rel)
+
+
+def test_fm_int8_requires_tanh():
+    net, params, obs, action, logp_old, v_old, adv_n, target = _make_inputs()
+    from pikazoo_tpu.train.fused_update import fused_ppo_grads_fm
+    obs_fm = jnp.swapaxes(_fm_shape(obs), 1, 2)
+    with pytest.raises(ValueError, match="tanh"):
+        fused_ppo_grads_fm(
+            params, obs_fm, _fm_shape(action), _fm_shape(logp_old),
+            _fm_shape(v_old), _fm_shape(adv_n), _fm_shape(target),
+            num_actions=A, activation="relu", clip_eps=CLIP,
+            value_coef=VCOEF, entropy_coef=ECOEF, interpret=True,
+            quant="int8")
+
+
+def test_train_step_int8_smoke():
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+    from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    cfg = PPOConfig(num_envs=64, rollout_length=8, num_minibatches=2,
+                    update_epochs=1, hidden=(32, 32), fused_update="fm",
+                    update_quant="int8")
+    init_fn, train_step, _ = make_ppo_trainer(env, cfg)
+    runner = init_fn(jax.random.key(0))
+    runner2, metrics = jax.jit(train_step)(runner)
+    assert np.isfinite(float(metrics.total_loss))
+    assert not np.allclose(np.asarray(_flat(runner.params)),
+                           np.asarray(_flat(runner2.params)))

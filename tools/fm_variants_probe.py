@@ -55,7 +55,15 @@ VARIANTS = {
     "C=1024 f32bwd": dict(cols_per_cell=1024, bwd_bf16=False),
     "C=1024 bf16bwd": dict(cols_per_cell=1024, bwd_bf16=True),
     "C=2048 f32bwd": dict(cols_per_cell=2048, bwd_bf16=False),
+    "C=512 int8": dict(cols_per_cell=512, quant="int8"),
+    "C=1024 int8": dict(cols_per_cell=1024, quant="int8"),
+    "C=2048 int8": dict(cols_per_cell=2048, quant="int8"),
+    "C=1024 int8fwd": dict(cols_per_cell=1024, quant="int8fwd"),
+    "C=2048 int8fwd": dict(cols_per_cell=2048, quant="int8fwd"),
 }
+if os.environ.get("ONLY"):
+    keys = [k for k in VARIANTS if os.environ["ONLY"] in k]
+    VARIANTS = {k: VARIANTS[k] for k in keys}
 
 
 def make_fn(kw):
