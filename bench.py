@@ -195,12 +195,36 @@ def _time_calls(fn, state, iters: int, block: bool = True) -> float:
     return time.perf_counter() - t0
 
 
+def _clear_stale_canary_fail() -> None:
+    """Drop a cached NEGATIVE Pallas-canary verdict before a bench rung.
+
+    The canary (core/_pallas_canary.py) caches a failure for 1h; a failure
+    caused by transient tunnel contention (e.g. a probe run hogging the
+    remote compiler) would silently downgrade config 2 to the lax fallback
+    for the whole bench.  The bench runs alone, so re-probing is cheap and
+    a genuine hazard recurrence still downgrades — just from a fresh
+    verdict, not a stale one."""
+    import json
+    import tempfile
+
+    cache = os.path.join(tempfile.gettempdir(), "pikazoo_pallas_canary.json")
+    try:
+        with open(cache) as f:
+            if not json.load(f).get("ok", False):
+                os.unlink(cache)
+    except (OSError, ValueError):
+        pass
+
+
 def measure_env(batch: int, steps: int, iters: int, computer: bool) -> float:
     """Config 4 (and config 2 with ``computer``): scanned batched rollout."""
     import jax
     import jax.numpy as jnp
 
     from pikazoo_tpu.envs import EnvConfig, PikaZoo
+
+    if computer:
+        _clear_stale_canary_fail()
 
     env = PikaZoo(EnvConfig(auto_reset=True,
                             is_player1_computer=computer,

@@ -95,3 +95,27 @@ def test_refresh_baselines_updates_denominators(monkeypatch):
     # generous jitter rather than asserting a strict ordering of two tiny
     # timing samples (flaky otherwise).
     assert out["ai"] < 1.5 * out["human"]
+
+
+def test_clear_stale_canary_fail(tmp_path, monkeypatch):
+    """A cached NEGATIVE Pallas-canary verdict is dropped (so the bench
+    re-probes in its own uncontended environment); a positive one stays."""
+    import tempfile
+
+    bench = _load_bench()
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    cache = tmp_path / "pikazoo_pallas_canary.json"
+
+    cache.write_text(json.dumps({"ok": False, "ts": 0}))
+    bench._clear_stale_canary_fail()
+    assert not cache.exists()
+
+    cache.write_text(json.dumps({"ok": True, "ts": 0}))
+    bench._clear_stale_canary_fail()
+    assert cache.exists()
+
+    cache.write_text("not json")
+    bench._clear_stale_canary_fail()  # malformed: tolerated, left in place
+
+    cache.unlink()
+    bench._clear_stale_canary_fail()  # absent: no-op
