@@ -47,6 +47,36 @@ def test_two_process_distributed_train_step():
 
 
 @pytest.mark.slow
+def test_two_process_distributed_fused_fm_train_step():
+    """The production config-5 program — the feature-major fused Pallas
+    minibatch gradient inside shard_map+psum — across REAL jax.distributed
+    process boundaries (interpret-mode kernel on CPU), not just the
+    single-process mesh of test_train_step_fm_mesh_matches_single."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, _TOOL, str(i), "2", str(port), "fm"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+        assert "sharded_over=8 devices OK" in out, out[-2000:]
+    losses = {line.split("loss=")[1].split()[0]
+              for out in outs for line in out.splitlines() if "loss=" in line}
+    assert len(losses) == 1, losses
+
+
+@pytest.mark.slow
 def test_scaling_harness_emits_table():
     """One command measures 1- and 2-process rungs and prints the table."""
     import json

@@ -21,7 +21,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-def main(process_id: int, num_processes: int, port: int) -> None:
+def main(process_id: int, num_processes: int, port: int,
+         mode: str = "autodiff") -> None:
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=num_processes,
@@ -38,8 +39,13 @@ def main(process_id: int, num_processes: int, port: int) -> None:
     from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
 
     mesh = make_env_mesh(global_devices)
+    # mode "fm" runs the minibatch gradient through the feature-major fused
+    # Pallas kernel (interpret mode on CPU) inside the shard_map+psum mesh
+    # path — the exact production config-5 program, now across REAL
+    # jax.distributed process boundaries rather than a single-process mesh.
     cfg = PPOConfig(num_envs=4 * len(global_devices), rollout_length=8,
-                    num_minibatches=2, update_epochs=1, hidden=(32,))
+                    num_minibatches=2, update_epochs=1, hidden=(32,),
+                    fused_update="fm" if mode == "fm" else "auto")
     env = PikaZoo(EnvConfig(winning_score=2))
     init_fn, train_step, _ = make_ppo_trainer(env, cfg, mesh=mesh)
 
@@ -69,4 +75,5 @@ def main(process_id: int, num_processes: int, port: int) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+         sys.argv[4] if len(sys.argv) > 4 else "autodiff")
