@@ -74,3 +74,72 @@ def evaluate_vs_computer(network, params, *, num_envs: int = 512,
         )
 
     return jax.jit(run)(jax.random.key(seed))
+
+
+def evaluate_head_to_head(network_a, params_a, network_b, params_b, *,
+                          num_envs: int = 512, max_frames: int = 20_000,
+                          winning_score: int = 5, greedy: bool = True,
+                          seed: int = 0, simplify_actions_a: bool = False,
+                          simplify_actions_b: bool = False) -> EvalResult:
+    """Play policy A (seat 1) vs policy B (seat 2); stats are from A's side.
+
+    The env mirrors observations per seat (``obs[:, 0]`` is seat 1's view,
+    ``obs[:, 1]`` seat 2's; reference `pikazoo_env.py:576-588`).  This is
+    the building block for checkpoint ladders / league-style strength
+    tracking; ``EvalResult.win_rate`` is A's.  ``simplify_actions_*`` map
+    13-action SimplifyAction policies through the per-seat
+    relative-direction tables.
+
+    Seat caveat: raw-env actions use ABSOLUTE directions and observations
+    carry absolute coordinates, so seats are distinguishable and a policy
+    trained on one seat only (e.g. ``learner_seats="p1"``) is
+    out-of-distribution on the other — the committed vs-AI artifact wins
+    ~95% of its own mirror match from seat 1 for exactly this reason.
+    The harness itself is unbiased (a seat-agnostic random policy's mirror
+    match measures 50.7% over ~490 games, pinned in
+    ``tests/test_trained_artifact.py``).  Compare seat specialists
+    same-seat (two calls with seats swapped); symmetric self-play
+    checkpoints (``learner_seats="both"``) compare directly.
+    """
+    cfg = EnvConfig(winning_score=winning_score, auto_reset=True)
+    env = PikaZoo(cfg)
+    from pikazoo_tpu.wrappers.transforms import SIMPLIFY_P1, SIMPLIFY_P2
+
+    def run(key):
+        ekey, akey = jax.random.split(jax.random.fold_in(key, 2))
+        state, ts = env.reset_batch(ekey, num_envs)
+
+        def act(net, prm, obs_side, sub, table):
+            logits, _ = net.apply(prm, obs_side)
+            if greedy:
+                a = jnp.argmax(logits, -1).astype(jnp.int32)
+            else:
+                a = jax.random.categorical(sub, logits).astype(jnp.int32)
+            return table[a] if table is not None else a
+
+        def body(carry, _):
+            state, obs, key = carry
+            key, s1, s2 = jax.random.split(key, 3)
+            a1 = act(network_a, params_a, obs[:, 0], s1,
+                     SIMPLIFY_P1 if simplify_actions_a else None)
+            a2 = act(network_b, params_b, obs[:, 1], s2,
+                     SIMPLIFY_P2 if simplify_actions_b else None)
+            state, ts = env.step_batch(state, jnp.stack([a1, a2], axis=1))
+            done = ts.terminated == 1
+            a_won = done & (ts.scores[:, 0] > ts.scores[:, 1])
+            diff = jnp.where(done, ts.scores[:, 0] - ts.scores[:, 1], 0)
+            return (state, ts.obs, key), (done.astype(jnp.int32),
+                                          a_won.astype(jnp.int32), diff)
+
+        (_, _, _), (dones, wins, diffs) = jax.lax.scan(
+            body, (state, ts.obs, akey), None, length=max_frames)
+        games = dones.sum()
+        a_wins = wins.sum()
+        return EvalResult(
+            games=games,
+            policy_wins=a_wins,
+            win_rate=a_wins / jnp.maximum(games, 1),
+            mean_score_diff=diffs.sum() / jnp.maximum(games, 1),
+        )
+
+    return jax.jit(run)(jax.random.key(seed))

@@ -35,3 +35,44 @@ def test_trained_policy_beats_rule_ai():
     assert games >= 8
     assert float(result.win_rate) > 0.9, \
         f"trained artifact win rate {float(result.win_rate)} over {games} games"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(ARTIFACT),
+                    reason="trained artifact not present")
+def test_trained_policy_beats_random_init_head_to_head():
+    """Head-to-head evaluator: the trained checkpoint crushes a random
+    init, and a mirror match of the same params lands near 50%."""
+    pytest.importorskip("orbax.checkpoint")
+    from pikazoo_tpu.train.evaluate import evaluate_head_to_head
+
+    env = PikaZoo(EnvConfig(winning_score=15, auto_reset=True,
+                            is_player2_computer=True))
+    cfg = PPOConfig(num_envs=8192, rollout_length=128, num_minibatches=8,
+                    update_epochs=4, hidden=(256, 256), entropy_coef=0.01,
+                    learner_seats="p1", learning_rate=5e-4)
+    init_fn, _, network = make_ppo_trainer(env, cfg)
+    fresh = init_fn(jax.random.key(0))
+    trained = ckpt.restore(ARTIFACT, fresh)
+
+    r = evaluate_head_to_head(network, trained.params, network, fresh.params,
+                              num_envs=16, max_frames=6000, winning_score=3,
+                              greedy=False, seed=5)
+    assert int(r.games) >= 8
+    # winning_score=3 with SAMPLED actions is a noisy format — a random
+    # init occasionally takes short games (measured ~0.87 over 500+ games).
+    assert float(r.win_rate) > 0.75, \
+        f"trained vs random head-to-head {float(r.win_rate)}"
+    assert float(r.mean_score_diff) > 0
+
+    # Symmetry control: a mirror match of the seat-agnostic RANDOM params
+    # must land near 50% (measured 0.507 over ~490 games) — this pins the
+    # evaluator itself as unbiased.  NOTE the trained artifact is a seat-1
+    # SPECIALIST (learner_seats="p1"); in ITS mirror match seat 1 wins
+    # ~95% because the same weights are out-of-distribution on seat 2 —
+    # a property of the artifact, not the harness.
+    m = evaluate_head_to_head(network, fresh.params, network,
+                              fresh.params, num_envs=16, max_frames=6000,
+                              winning_score=3, greedy=False, seed=6)
+    assert int(m.games) >= 50
+    assert 0.35 < float(m.win_rate) < 0.65, float(m.win_rate)
