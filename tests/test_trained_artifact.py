@@ -76,3 +76,41 @@ def test_trained_policy_beats_random_init_head_to_head():
                               winning_score=3, greedy=False, seed=6)
     assert int(m.games) >= 50
     assert 0.35 < float(m.win_rate) < 0.65, float(m.win_rate)
+
+
+SELFPLAY = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "selfplay_policy")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(SELFPLAY),
+                    reason="self-play artifact not present")
+def test_selfplay_artifact_strength():
+    """The committed SYMMETRIC self-play policy (learner_seats="both",
+    600 updates x 8192 envs, pure self-play — never saw the rule AI in
+    training): beats the rule AI, crushes a random init head-to-head, and
+    its mirror match is roughly seat-balanced (hardware eval 2026-08-20:
+    0.965 / 1.000 / 0.595)."""
+    pytest.importorskip("orbax.checkpoint")
+    from pikazoo_tpu.train.evaluate import evaluate_head_to_head
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    cfg = PPOConfig(num_envs=8192, rollout_length=128)
+    init_fn, _, network = make_ppo_trainer(env, cfg)
+    fresh = init_fn(jax.random.key(0))
+    runner = ckpt.restore(SELFPLAY, fresh)
+
+    r = evaluate_vs_computer(network, runner.params, num_envs=16,
+                             max_frames=8000, winning_score=5,
+                             greedy=False, seed=31,
+                             env_config=EnvConfig(winning_score=5,
+                                                  is_player2_computer=True,
+                                                  auto_reset=True))
+    assert int(r.games) >= 8
+    assert float(r.win_rate) > 0.8, float(r.win_rate)
+
+    h = evaluate_head_to_head(network, runner.params, network, fresh.params,
+                              num_envs=16, max_frames=8000, winning_score=5,
+                              greedy=False, seed=32)
+    assert int(h.games) >= 8
+    assert float(h.win_rate) > 0.9, float(h.win_rate)
