@@ -536,13 +536,22 @@ def _pallas_embed_canary_ok() -> bool:
     except (OSError, ValueError, KeyError, TypeError):
         pass
     timeout = float(os.environ.get("PIKAZOO_PALLAS_CANARY_TIMEOUT", "150"))
-    try:
-        out = subprocess.run(
-            [sys.executable, "-m", "pikazoo_tpu.core._pallas_canary"],
-            timeout=timeout, capture_output=True, text=True)
-        ok = out.returncode == 0 and "CANARY_OK" in out.stdout
-    except (subprocess.TimeoutExpired, OSError):
-        ok = False
+    # Two attempts before caching a failure: a single timeout is usually
+    # transient remote-compiler contention (measured 2026-08-20 — a probe
+    # run hogging the tunnel failed the canary and the cached verdict
+    # silently downgraded a training run to lax for an hour), while a
+    # genuine hang recurrence fails both bounded attempts.
+    ok = False
+    for _attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-m", "pikazoo_tpu.core._pallas_canary"],
+                timeout=timeout, capture_output=True, text=True)
+            ok = out.returncode == 0 and "CANARY_OK" in out.stdout
+        except (subprocess.TimeoutExpired, OSError):
+            ok = False
+        if ok:
+            break
     try:
         with open(cache, "w") as f:
             json.dump({"ok": ok, "ts": now}, f)
