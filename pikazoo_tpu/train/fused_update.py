@@ -554,6 +554,10 @@ def fused_ppo_grads_fm(params: Dict[str, Any], obs: jnp.ndarray,
             s = jnp.maximum(jnp.max(jnp.abs(t)), 1e-30) / 127.0
             return jnp.round(t / s).astype(jnp.int8), s
 
+        if L + 1 > 8:
+            raise ValueError(
+                f"int8 quant supports at most 7 hidden layers ({L} given): "
+                "the dequant scales ship as one (1, 8) VMEM row")
         wpv_f = jnp.concatenate([w[L].astype(jnp.float32),
                                  w[L + 1].astype(jnp.float32)], axis=1)
         qs = [_qw(t) for t in [*w[:L], wpv_f]]
