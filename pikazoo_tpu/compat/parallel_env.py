@@ -43,10 +43,14 @@ class raw_env:  # noqa: N801 — matches the reference class name
         "render_fps": 20,
     }
 
+    # The five reference kwargs stay positional-compatible
+    # (pikazoo_env.py:79-86); everything after ``*`` is an extension of this
+    # adapter and keyword-only, so adding extensions can never silently
+    # reinterpret an existing caller's positional argument.
     def __init__(self, winning_score: int = 15, serve: str = "winner",
                  is_player1_computer: bool = False,
                  is_player2_computer: bool = False,
-                 render_mode: Optional[str] = None,
+                 render_mode: Optional[str] = None, *,
                  seed: Optional[int] = None,
                  render_rng_coupled: bool = False,
                  sprite_dir: Optional[str] = None,
@@ -147,8 +151,13 @@ class raw_env:  # noqa: N801 — matches the reference class name
                         serve_mode=self._eng.serve_mode,
                         is_p1_computer=self._eng.p1_cpu,
                         is_p2_computer=self._eng.p2_cpu, auto_reset=0)
-                except (RuntimeError, OSError):
+                    self._fast_error = None
+                except (RuntimeError, OSError) as e:
+                    # Graceful degradation for library users, but NOT
+                    # silent: the cause is kept for introspection
+                    # (bench.py refuses to bench the fallback unlabeled).
                     self._fast = None
+                    self._fast_error = str(e)
             else:
                 from pikazoo_tpu.core.rng import key_from_jax  # noqa: PLC0415
                 self._eng.reset(self._matrix,

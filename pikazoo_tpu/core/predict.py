@@ -497,6 +497,20 @@ def landing_sims(ball: BallState) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 _CANARY_VERDICT: bool | None = None
 
+# Resolved dispatch of the most recent batched landing_sims trace — the
+# provenance bench.py records so "which predictor actually served this
+# number" is answerable from the artifact (every round since round 2 had
+# one silently-degraded number; this closes the class for config 2).
+_RESOLVED: dict = {"predictor": None, "canary": None, "source": None}
+
+
+def dispatch_provenance() -> dict:
+    """``{"predictor": "pallas"|"lax"|None, "canary": bool|None,
+    "source": "env"|"canary"|"backend"|None}`` for the most recent batched
+    trace in this process.  ``canary=None`` means the canary was not
+    consulted (env override, non-TPU backend, or canary disabled)."""
+    return dict(_RESOLVED)
+
 
 def _pallas_embed_canary_ok() -> bool:
     """Guard the first kernel-path compile with a killable subprocess canary.
@@ -584,9 +598,15 @@ def _landing_sims_vmap_rule(axis_size, in_batched, ball: BallState):
     # B=65536.  A subprocess compile canary now guards the first dispatch —
     # see _pallas_embed_canary_ok; PIKAZOO_PREDICTOR=lax stays the manual
     # escape hatch.)
-    use_pallas = (impl == "pallas"
-                  or (impl == "auto" and jax.default_backend() == "tpu"
-                      and _pallas_embed_canary_ok()))
+    if impl != "auto":
+        use_pallas, source = impl == "pallas", "env"
+    elif jax.default_backend() != "tpu":
+        use_pallas, source = False, "backend"
+    else:
+        use_pallas, source = _pallas_embed_canary_ok(), "canary"
+    _RESOLVED.update(predictor="pallas" if use_pallas else "lax",
+                     canary=_CANARY_VERDICT if source == "canary" else None,
+                     source=source)
     if use_pallas:
         from pikazoo_tpu.core.predict_pallas import landing_sims_batched
         expected, candidates = landing_sims_batched(

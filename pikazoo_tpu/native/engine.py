@@ -2,11 +2,21 @@
 
 Builds ``pika_engine.cc`` on first use (g++, -O3, OpenMP when available) and
 exposes :class:`NativeEngine` with the same step semantics as the JAX env over
-a packed ``(B, NFIELDS)`` int32 state matrix.  Conversion helpers map to/from
-the :class:`~pikazoo_tpu.envs.pika_volley.EnvState` pytree (minus the threefry
-key — the native engine is oracle-only: RNG values come from a caller-provided
-draw buffer indexed by the same draw counter, which is also what makes it a
-bit-comparable second implementation for fuzz parity).
+a packed ``(B, NFIELDS)`` int32 state matrix, INCLUDING the threefry stream
+key (``rng_lo``/``rng_hi`` columns).  RNG runs in one of two modes per call:
+
+* **production** (``oracle=None``, the default and what the compat adapter
+  uses): draws come from the state's own threefry key via the same draw-slot
+  scheme as the JAX env (``pika_engine.cc`` threefry2x32, cross-implemented
+  bit-identically — ``tests/test_rng_cross_impl.py``), so native and JAX
+  trajectories are bit-equal from the same key.
+* **oracle**: draws come from a caller-provided ``(B, CAP)`` buffer indexed
+  by the draw counter — the mode the parity harness uses to replay the
+  reference's recorded numpy stream, making this a bit-comparable second
+  implementation for fuzz parity.
+
+Conversion helpers (:meth:`NativeEngine.pack` / :meth:`unpack`) map to/from
+the :class:`~pikazoo_tpu.envs.pika_volley.EnvState` pytree.
 """
 
 from __future__ import annotations
@@ -45,31 +55,75 @@ _lib = None
 _build_error: Optional[str] = None
 
 
+def _cache_dir() -> str:
+    cache_dir = os.environ.get(
+        "PIKAZOO_NATIVE_CACHE",
+        os.path.join(tempfile.gettempdir(), "pikazoo_native"))
+    os.makedirs(cache_dir, exist_ok=True)
+    return cache_dir
+
+
+def _compile_atomic(cmd_for, so_path: str):
+    """Compile to a private temp name, then ``os.replace`` into place.
+
+    Concurrent processes compiling straight to the shared cache path can
+    tear each other's writes, leaving a corrupt ``.so`` that every LATER
+    process fails to load — the silent-persistent-degradation class behind
+    round 4's config-1 regression suspect.  ``os.replace`` is atomic on the
+    same filesystem, so readers only ever see a complete binary.  Returns
+    the build error string, or None on success."""
+    tmp = f"{so_path}.tmp.{os.getpid()}"
+    err = None
+    for cmd in cmd_for(tmp):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, so_path)
+            return None
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
+            raw = getattr(e, "stderr", b"") or str(e).encode()
+            err = raw.decode(errors="replace")[:2000]
+    try:
+        os.unlink(tmp)
+    except OSError:
+        pass
+    return err
+
+
 def _build_and_load():
     global _lib, _build_error
     if _lib is not None or _build_error is not None:
         return
     src = os.path.join(os.path.dirname(__file__), "pika_engine.cc")
-    cache_dir = os.environ.get(
-        "PIKAZOO_NATIVE_CACHE",
-        os.path.join(tempfile.gettempdir(), "pikazoo_native"))
-    os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, "pika_engine.so")
-    if (not os.path.exists(so_path)
-            or os.path.getmtime(so_path) < os.path.getmtime(src)):
+    so_path = os.path.join(_cache_dir(), "pika_engine.so")
+
+    def cmds(out):
+        # OpenMP first, serial fallback when the toolchain lacks it.
         for extra in (["-fopenmp"], []):
-            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                   *extra, src, "-o", so_path]
-            try:
-                subprocess.run(cmd, check=True, capture_output=True)
-                break
-            except (subprocess.CalledProcessError, FileNotFoundError) as e:
-                err = getattr(e, "stderr", b"") or str(e).encode()
-                _build_error = err.decode(errors="replace")[:2000]
-        else:
+            yield ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   *extra, src, "-o", out]
+
+    stale = (not os.path.exists(so_path)
+             or os.path.getmtime(so_path) < os.path.getmtime(src))
+    if stale:
+        _build_error = _compile_atomic(cmds, so_path)
+        if _build_error is not None:
             return
-        _build_error = None
-    lib = ctypes.CDLL(so_path)
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError as e:
+        if stale:  # freshly built and still unloadable: a real failure
+            _build_error = f"load failed: {e}"[:2000]
+            return
+        # A cached .so that no longer loads (corrupt / wrong arch from a
+        # previous environment): rebuild once from source.
+        _build_error = _compile_atomic(cmds, so_path)
+        if _build_error is not None:
+            return
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError as e2:
+            _build_error = f"load failed after rebuild: {e2}"[:2000]
+            return
     assert lib.pika_nfields() == NFIELDS, \
         "C++/Python state layout out of sync"
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -112,43 +166,74 @@ def _build_and_load_fastpath():
     import numpy as np
 
     src = os.path.join(os.path.dirname(__file__), "fastpath.c")
-    cache_dir = os.environ.get(
-        "PIKAZOO_NATIVE_CACHE",
-        os.path.join(tempfile.gettempdir(), "pikazoo_native"))
-    os.makedirs(cache_dir, exist_ok=True)
     # Unlike the C-ABI engine .so, this is a CPython extension: tag the
     # cache file with the interpreter's ABI so a 3.11-built binary is never
     # loaded into a 3.12 process (EXT_SUFFIX e.g. '.cpython-312-....so').
     ext = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    so_path = os.path.join(cache_dir, f"_pika_fastpath{ext}")
-    if (not os.path.exists(so_path)
-            or os.path.getmtime(so_path) < os.path.getmtime(src)):
-        cmd = ["gcc", "-O2", "-shared", "-fPIC",
-               f"-I{sysconfig.get_paths()['include']}",
-               f"-I{np.get_include()}", src, "-o", so_path, "-ldl"]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            err = getattr(e, "stderr", b"") or str(e).encode()
-            _fastpath_error = err.decode(errors="replace")[:2000]
-            return
-    import importlib.machinery
-    import importlib.util
+    so_path = os.path.join(_cache_dir(), f"_pika_fastpath{ext}")
 
-    loader = importlib.machinery.ExtensionFileLoader("_pika_fastpath",
-                                                     so_path)
-    spec = importlib.util.spec_from_loader("_pika_fastpath", loader)
-    mod = importlib.util.module_from_spec(spec)
+    def cmds(out):
+        yield ["gcc", "-O2", "-shared", "-fPIC",
+               f"-I{sysconfig.get_paths()['include']}",
+               f"-I{np.get_include()}", src, "-o", out, "-ldl"]
+
+    def load():
+        import importlib.machinery
+        import importlib.util
+
+        loader = importlib.machinery.ExtensionFileLoader("_pika_fastpath",
+                                                         so_path)
+        spec = importlib.util.spec_from_loader("_pika_fastpath", loader)
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)  # ImportError on a corrupt/mismatched .so
+        return mod
+
+    stale = (not os.path.exists(so_path)
+             or os.path.getmtime(so_path) < os.path.getmtime(src))
+    if stale:
+        _fastpath_error = _compile_atomic(cmds, so_path)
+        if _fastpath_error is not None:
+            return
     try:
-        loader.exec_module(mod)
+        _fastpath_mod = load()
     except ImportError as e:
-        _fastpath_error = str(e)
-        return
-    _fastpath_mod = mod
+        if stale:
+            _fastpath_error = str(e)[:2000]
+            return
+        # Cached extension no longer loads: rebuild once from source
+        # (self-heals a corrupt cache instead of degrading every process).
+        _fastpath_error = _compile_atomic(cmds, so_path)
+        if _fastpath_error is not None:
+            return
+        try:
+            _fastpath_mod = load()
+        except ImportError as e2:
+            _fastpath_error = f"load failed after rebuild: {e2}"[:2000]
 
 
 def fastpath_available() -> bool:
     _build_and_load_fastpath()
+    return _fastpath_mod is not None
+
+
+def build_errors() -> dict:
+    """Captured build/load errors (None = built or not yet attempted) —
+    the provenance surface bench.py records so a silent fallback can be
+    root-caused from the artifact."""
+    return {"engine": _build_error, "fastpath": _fastpath_error}
+
+
+def retry_build() -> bool:
+    """Drop cached failure verdicts and re-attempt both builds once.
+
+    A build failure is cached per process; transient causes (compiler
+    contention, a cache file mid-replace) deserve one retry before a
+    caller gives up or falls back.  Returns fastpath availability."""
+    global _build_error, _fastpath_error
+    if _fastpath_mod is None:
+        _build_error = None
+        _fastpath_error = None
+        _build_and_load_fastpath()
     return _fastpath_mod is not None
 
 

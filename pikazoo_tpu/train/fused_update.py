@@ -331,14 +331,24 @@ def _fm_kernel(num_hidden: int, num_actions: int, activation: str,
             # full-int8 mode, bf16 tiles in fwd-only mode (the backward
             # then runs the stock bf16 chain on them).
             fwd_only = quant == "fwd"
-            h_q = jnp.round(x.astype(f32) * 127.0).astype(jnp.int8)
+
+            def _q127(v):
+                # Clamp before the int8 cast: the static scale assumes
+                # [-1, 1] inputs (normalized obs / tanh), but an observation
+                # marginally outside OBS_LOW/HIGH or a non-tanh activation
+                # would otherwise hit out-of-range f32->int8 conversion,
+                # which is implementation-defined.
+                return jnp.clip(jnp.round(v * 127.0),
+                                -127.0, 127.0).astype(jnp.int8)
+
+            h_q = _q127(x.astype(f32))
             x_q = h_q
             for l in range(L):
                 acc = jax.lax.dot_general(w_refs[l][...], h_q, c00,
                                           preferred_element_type=i32)
                 pre = acc.astype(f32) * (_sw(l) * s_in) + b_refs[l][...]
                 h_f = _act(pre, activation)
-                h_q = jnp.round(h_f * 127.0).astype(jnp.int8)
+                h_q = _q127(h_f)
                 hs_b.append(h_f.astype(jnp.bfloat16) if fwd_only else h_q)
             heads = jax.lax.dot_general(wpv_ref[...], h_q, c00,
                                         preferred_element_type=i32) \

@@ -323,6 +323,15 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
         fused_fm = True
     else:
         use_fused, fused_interpret, fused_fm = False, False, False
+    if cfg.update_quant != "none" and not (use_fused and fused_fm):
+        # int8 modes exist only in the feature-major kernel; silently
+        # running bf16 would corrupt any quant-vs-bf16 A/B the user
+        # believes they are running.
+        raise ValueError(
+            f"update_quant={cfg.update_quant!r} requires the feature-major "
+            f"fused kernel, but fused_update={cfg.fused_update!r} resolved "
+            f"to {'fm' if fused_fm else ('row-major' if use_fused else 'xla')}"
+            f" on backend {jax.default_backend()!r}; set fused_update='fm'")
 
     def _fused_minibatch_grads(params, mtraj, madv, mtarget):
         from pikazoo_tpu.train.fused_update import (fused_ppo_grads,
@@ -483,4 +492,13 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
     train_step.rollout_fn = rollout
     train_step.minibatch_grads_fn = minibatch_grads
     train_step.tx = tx
+    # Resolved update-dispatch provenance ("auto" is decided above at build
+    # time); bench.py records this so the artifact says which kernel served.
+    train_step.provenance = {
+        "fused_update": ("fm" if use_fused and fused_fm
+                         else "row" if use_fused else "xla"),
+        "configured": cfg.fused_update,
+        "update_quant": cfg.update_quant,
+        "backend": jax.default_backend(),
+    }
     return init_fn, train_step, network

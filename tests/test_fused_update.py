@@ -365,6 +365,42 @@ def test_fm_int8_requires_tanh():
             quant="int8")
 
 
+def test_update_quant_requires_fm_kernel():
+    # update_quant only exists in the feature-major kernel; a resolution to
+    # xla/row-major must raise instead of silently running bf16 (round-4
+    # advisor finding: a user could believe they were A/B-ing int8).
+    import pytest
+
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+    from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    cfg = PPOConfig(num_envs=64, rollout_length=8, num_minibatches=2,
+                    update_epochs=1, hidden=(32, 32), fused_update="xla",
+                    update_quant="int8")
+    with pytest.raises(ValueError, match="feature-major"):
+        make_ppo_trainer(env, cfg)
+
+
+def test_train_step_provenance_attribute():
+    from pikazoo_tpu.envs import EnvConfig, PikaZoo
+    from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    cfg = PPOConfig(num_envs=64, rollout_length=8, num_minibatches=2,
+                    update_epochs=1, hidden=(32, 32), fused_update="xla")
+    _, train_step, _ = make_ppo_trainer(env, cfg)
+    assert train_step.provenance["fused_update"] == "xla"
+    assert train_step.provenance["configured"] == "xla"
+    # "auto" resolves by backend; on the CPU test backend that is xla.
+    import dataclasses
+
+    _, ts_auto, _ = make_ppo_trainer(
+        env, dataclasses.replace(cfg, fused_update="auto"))
+    assert ts_auto.provenance["fused_update"] == "xla"
+    assert ts_auto.provenance["backend"] == "cpu"
+
+
 def test_train_step_int8_smoke():
     from pikazoo_tpu.envs import EnvConfig, PikaZoo
     from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
