@@ -10,8 +10,13 @@ to its own block-max iterations.  Measured (round 3, host-transfer-synced —
 the round-2 "19us/call" reading was a non-blocking-timing artifact): ~770us
 per call at B=65536 on live self-play states, bounded by the 64 sequential
 grid blocks each running to its block-max iteration count; in the full AI
-step it beats the lax fallback 75.4M vs 44.8M env-steps/s.  Reaching
-sum-of-iterations cost (~100M+) needs live-lane compaction — future work.
+step it beats the lax fallback 75.4M vs 44.8M env-steps/s.  The block-max
+tax is the measured-final cost floor: round 5 closed the last open lever
+(live-lane compaction) with hardware numbers — perfect free ordering buys
+only 14%, the flat layout compaction needs is 1.6-2x slower than this
+kernel's 6-way cross-tile ILP layout, and applying any permutation costs
+~2.5 ms vs the 171 us best-case saving (tools/compaction_probe.py,
+docs/landing_sim_audit.md round-5 section).
 
 The simulation body is the SAME shape-generic function the lax path uses
 (``core.predict.landing_sims_any`` — iota-built constants, int32 masks), so
