@@ -4,8 +4,13 @@ One ``train_step`` = rollout ``T`` frames on ``B`` vmapped envs (both seats
 share the policy; each seat contributes a trajectory, so the learner batch is
 ``T x 2B``), GAE, and several clipped-PPO epochs — all inside a single
 ``jit``.  Sharding: env state / trajectories are split along the batch axis
-of the device mesh, parameters and optimizer state are replicated, and the
-gradient all-reduce is inserted by XLA (GSPMD) — no hand-written collectives.
+of the device mesh; parameters and optimizer state are replicated.  The
+rollout and the fused minibatch gradient each run under ``shard_map`` with
+a device-LOCAL seat-blocked layout, so the only collectives in the whole
+train step are gradient/loss ``psum``s (asserted from the compiled HLO in
+``tests/test_perf_contract.py``); meshed action sampling slices each
+shard's columns out of the global uniform row, so meshed and single-device
+training are bit-matched.
 
 TPU layout note: all learner tensors keep the (huge) folded batch axis as
 the minor-most dimension wherever there is no feature axis — a trailing
@@ -22,6 +27,7 @@ independent env lanes.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -93,7 +99,9 @@ class PPOConfig:
 class Transition(NamedTuple):
     """Per-frame learner record with the SEAT DIMENSION FOLDED INTO BATCH:
     leaves are (2B,) / (2B, 35), seat-BLOCKED (rows [0, B) are seat 1,
-    [B, 2B) seat 2 — the layout ``env.step_batch_learner`` emits).  TPU
+    [B, 2B) seat 2 — the layout ``env.step_batch_learner`` emits; on a
+    mesh the blocking is per DEVICE SHARD, since the rollout runs under
+    shard_map — every consumer is column-order-agnostic).  TPU
     layouts map the minor-most dimension to the 128-wide vector lanes, so a
     trailing seat axis of 2 would pad every materialized learner buffer up
     to 64x — folding it is what lets the update phase run at memory speed."""
@@ -198,7 +206,7 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
                               jnp.int32(0))
 
     # ------------------------------------------------------------- rollout --
-    def policy_sample(params, norm_obs_fm, key):
+    def policy_sample(params, norm_obs_fm, u):
         # FEATURE-MAJOR policy step: obs (F, 2B) -> logits (A, 2B), so all
         # per-action math (softmax, sampling, log-prob select) reduces over
         # the SUBLANE axis.  The row-major layout put A=18 on the 128-wide
@@ -219,7 +227,9 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
                                 jnp.float32))
         cdf = jax.lax.dot_general(tri, p, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        u = jax.random.uniform(key, (1, norm_obs_fm.shape[1]), jnp.float32)
+        # ``u`` is the (1, 2B) per-column uniform row, drawn by the caller
+        # (on a mesh each shard slices its columns out of the GLOBAL row so
+        # meshed and single-device sampling are bit-identical).
         # Scale by the column total (~1.0) so bf16 rounding in the logits
         # can never push u past the last bucket.
         action = jnp.sum(cdf < u * cdf[-1:, :], axis=0)
@@ -228,7 +238,7 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
         log_prob = (log_probs * one_hot).sum(axis=0)       # (2B,)
         return action.astype(jnp.int32), log_prob, value
 
-    def rollout(params, env_state, obs, key):
+    def _rollout_body(params, env_state, obs, key, axis=None):
         from pikazoo_tpu.train.networks import normalize_obs
 
         # Learner fast path (env.step_batch_learner): the env hands back
@@ -245,7 +255,27 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
         def step(carry, _):
             env_state, norm_obs, key = carry
             key, akey = jax.random.split(key)
-            action, log_prob, value = policy_sample(params, norm_obs, akey)
+            if axis is None:
+                u = jax.random.uniform(akey, (1, norm_obs.shape[1]),
+                                       jnp.float32)
+            else:
+                # Every shard draws the GLOBAL uniform row from the
+                # replicated key (2B floats — trivially cheap) and slices
+                # its own seat-blocked columns, so meshed sampling is
+                # bit-identical to the single-device run and the carry key
+                # stays replicated.  Global seat-blocked layout: seat-1
+                # columns [0, B) then seat-2 [B, 2B); this shard holds
+                # local envs [i*b, (i+1)*b) of each seat block.
+                n = mesh.shape[axis]  # static: shapes must be concrete
+                b = num_envs  # local envs per shard
+                u_full = jax.random.uniform(akey, (1, 2 * b * n),
+                                            jnp.float32)
+                i = jax.lax.axis_index(axis)
+                u = jnp.concatenate([
+                    jax.lax.dynamic_slice(u_full, (0, i * b), (1, b)),
+                    jax.lax.dynamic_slice(u_full, (0, (n + i) * b), (1, b)),
+                ], axis=1)
+            action, log_prob, value = policy_sample(params, norm_obs, u)
             env_state, next_norm, reward1, terminated = \
                 env.step_batch_learner_fm(env_state, action[:num_envs],
                                           action[num_envs:])
@@ -257,14 +287,39 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
                             done=jnp.concatenate([done, done]))
             return (env_state, next_norm, key), tr
 
-        # Pin the env-axis sharding ONCE at scan entry.  A per-frame
-        # with_sharding_constraint inside the scan body is catastrophic
-        # (measured 36 ms/frame — 17x the whole body — even on a 1-device
-        # mesh: it forces a materialization barrier every frame); GSPMD
-        # propagates this entry sharding through the loop by itself.
-        env_state = _constrain(env_state, sharded=True)
         return jax.lax.scan(step, (env_state, norm0, key), None,
                             length=cfg.rollout_length)
+
+    if mesh is None:
+        rollout = _rollout_body
+    else:
+        # The rollout runs UNDER shard_map: each device steps its own env
+        # shard with a device-local seat-blocked (35, 2B_local) layout, so
+        # the program contains ZERO rollout collectives by construction.
+        # (Under plain GSPMD the global seat-blocked layout put an env's
+        # two seats on different devices — the [p1 | p2] column halves vs
+        # the contiguous env sharding — and the compiler inserted 21
+        # all-gathers + 6 collective-permutes per train step to
+        # redistribute at every seat-pairing op; measured 27x rollout
+        # slowdown at 2 processes on the localhost mesh.)  Globally the
+        # learner columns become per-DEVICE-blocked; every consumer
+        # (fused kernel, GAE, loss means) is column-order-agnostic, and
+        # the seat() selector below is shard_map'd to match.
+        _ax = mesh.axis_names[0]
+        from jax.sharding import PartitionSpec as _P
+
+        def rollout(params, env_state, obs, key):
+            return jax.shard_map(
+                functools.partial(_rollout_body, axis=_ax), mesh=mesh,
+                in_specs=(_P(), _P(_ax), _P(_ax), _P()),
+                out_specs=((_P(_ax), _P(None, _ax), _P()),
+                           Transition(obs=_P(None, None, _ax),
+                                      action=_P(None, _ax),
+                                      log_prob=_P(None, _ax),
+                                      value=_P(None, _ax),
+                                      reward=_P(None, _ax),
+                                      done=_P(None, _ax))),
+                check_vma=False)(params, env_state, obs, key)
 
     # ----------------------------------------------------------------- GAE --
     def compute_gae(traj: Transition, last_value: jnp.ndarray):
@@ -426,9 +481,20 @@ def make_ppo_trainer(env: PikaZoo, cfg: PPOConfig = PPOConfig(),
             # Keep only seat 1's trajectory for the update phase (seat-
             # BLOCKED flat layout: seat 1 is the first half of the env
             # axis, which is the LAST dim of every leaf — (T, 2B) scalars
-            # and (T, 35, 2B) feature-major obs alike).
+            # and (T, 35, 2B) feature-major obs alike).  On a mesh the
+            # blocking is per DEVICE (the rollout runs under shard_map),
+            # so the selector must slice each local shard, not the global
+            # column range.
+            def _first_half(v):
+                return v[..., :v.shape[-1] // 2]
+
             def seat(x):
-                return x[..., :x.shape[-1] // 2]
+                if mesh is None:
+                    return _first_half(x)
+                from jax.sharding import PartitionSpec as P
+                spec = P(*([None] * (x.ndim - 1)), mesh.axis_names[0])
+                return jax.shard_map(_first_half, mesh=mesh, in_specs=spec,
+                                     out_specs=spec, check_vma=False)(x)
 
             traj = Transition(*[seat(leaf) for leaf in traj])
             advantages, targets = seat(advantages), seat(targets)

@@ -137,6 +137,42 @@ def test_sharded_env_rollout_has_zero_collectives():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_meshed_ppo_rollout_has_zero_collectives():
+    """The PPO rollout runs under shard_map with a device-local seat-blocked
+    layout, so it must compile with NO collectives on the mesh.  (Before
+    round 5 the GSPMD-propagated global seat-blocked layout split each
+    env's two seats across devices and the compiler inserted 21 all-gathers
+    + 6 collective-permutes per train step — a 27x rollout slowdown at 2
+    real processes.)"""
+    from pikazoo_tpu.parallel import env_sharding, make_env_mesh, shard_batch
+    from pikazoo_tpu.train import PPOConfig, make_ppo_trainer
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    mesh = make_env_mesh()
+    cfg = PPOConfig(num_envs=64, rollout_length=8, num_minibatches=2,
+                    update_epochs=1, fused_update="off")
+    init_fn, train_step, _ = make_ppo_trainer(env, cfg, mesh=mesh)
+    runner = init_fn(jax.random.key(0))
+    runner = runner._replace(
+        env_state=shard_batch(runner.env_state, mesh),
+        last_obs=jax.device_put(runner.last_obs, env_sharding(mesh)))
+    roll = jax.jit(lambda p, st, obs, key:
+                   train_step.rollout_fn(p, st, obs, key))
+    text = roll.lower(runner.params, runner.env_state, runner.last_obs,
+                      runner.key).compile().as_text()
+    found = _hlo_collectives(text)
+    assert not found, f"PPO rollout compiled with collectives: {found}"
+    # And the FULL train step may contain only all-reduces (gradient sync
+    # + scalar loss/advantage reductions) — any all-gather or
+    # collective-permute means a sharded tensor is being redistributed.
+    step_text = jax.jit(train_step).lower(runner).compile().as_text()
+    redistributions = [op for op in _hlo_collectives(step_text)
+                       if op != "all-reduce"]
+    assert not redistributions, \
+        f"train step redistributes sharded tensors: {redistributions}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_meshed_train_step_has_gradient_allreduce():
     """Positive control for the grep above: the mesh-compiled PPO train step
     MUST contain an all-reduce (the gradient sync) — if it doesn't, the

@@ -81,9 +81,14 @@ def child(process_id: int, num_processes: int, port: int,
 
         def _sync(tree):
             # Host transfer: block_until_ready is not a reliable fence on
-            # remote-attached TPU backends (see bench.py::_sync).
+            # remote-attached TPU backends (see bench.py::_sync).  Fetch an
+            # ADDRESSABLE shard: on a multi-process mesh a device_get of
+            # the global array raises (shards on other hosts are not
+            # addressable), and one local shard is a sufficient fence.
             import numpy as _np
             leaf = jax.tree.leaves(tree)[0]
+            if getattr(leaf, "addressable_shards", None):
+                leaf = leaf.addressable_shards[0].data
             _ = _np.asarray(jax.device_get(leaf)).reshape(-1)[:1]
 
         def timed(fn, *args, reps=3):
@@ -182,6 +187,7 @@ def child(process_id: int, num_processes: int, port: int,
 
 
 def run_rung(num_processes: int, args, port: int) -> dict | None:
+    ncores = os.cpu_count() or 1
     procs = []
     for pid in range(num_processes):
         cmd = [sys.executable, os.path.abspath(__file__), "--_child",
@@ -189,6 +195,14 @@ def run_rung(num_processes: int, args, port: int) -> dict | None:
                "--devices-per-proc", str(args.devices_per_proc),
                "--batch-per-device", str(args.batch_per_device),
                "--steps", str(args.steps), "--mode", args.mode]
+        if args.pin_cores:
+            # One physical core per process: without pinning, every child's
+            # XLA-CPU thread pool spans all cores, so rungs beyond
+            # ncores/threads measured core CONTENTION, not mesh overhead
+            # (the round-4 4-proc confound).  With procs x 1 device pinned
+            # to distinct cores there is no oversubscription and efficiency
+            # is a real mesh measurement.
+            cmd = ["taskset", "-c", str(pid % ncores)] + cmd
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             text=True))
@@ -225,6 +239,9 @@ def main() -> None:
                              "(rollout + GAE + update with psum'd grads)")
     parser.add_argument("--timeout", type=int, default=600)
     parser.add_argument("--port", type=int, default=12357)
+    parser.add_argument("--pin-cores", action="store_true",
+                        help="taskset each child to its own physical core "
+                             "(clean CPU scaling: no core oversubscription)")
     parser.add_argument("--real", action="store_true",
                         help="run as one host of a real multi-host slice")
     parser.add_argument("--_child", nargs=3, type=int, metavar="X",

@@ -11,8 +11,10 @@ not just the single-process dry run.
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=4")
+_DEVICES = int(os.environ.get("PIKAZOO_SMOKE_DEVICES", "4"))
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={_DEVICES}")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -30,7 +32,8 @@ def main(process_id: int, num_processes: int, port: int,
     )
     assert jax.process_count() == num_processes
     global_devices = jax.devices()
-    assert len(global_devices) == 4 * num_processes, len(global_devices)
+    assert len(global_devices) == _DEVICES * num_processes, \
+        len(global_devices)
 
     import numpy as np
 
