@@ -92,20 +92,22 @@ def test_parallel_api_conformance_native_backend():
     parallel_api_test(env, num_cycles=3000)
 
 
-@pytest.mark.slow
 def test_parallel_api_conformance_native_backend_soak():
     """Long-duration lifecycle soak, mirroring the reference's own
     ``parallel_api_test(env, num_cycles=1_000_000)`` gate
-    (``/root/reference/tests/test_parallel_api.py:7``).  The native backend
-    steps fast enough (~200k/s engine-side; the PettingZoo test harness is
-    the limiter) to make a 100k-cycle soak affordable as a slow-marked
-    test — it exercises thousands of full episode lifecycles
-    (reset-after-termination, agent-list emptying, space containment)."""
+    (``/root/reference/tests/test_parallel_api.py:7``) at the SAME cycle
+    count.  ``num_cycles`` is a PER-EPISODE cap and the harness breaks at
+    the first termination, so 1M cycles means "let both MAX_RESETS
+    episodes run to natural 15-point completion under random actions"
+    (~500k frames each) — exactly the reference's lifecycle semantics,
+    where the shorter default would cut the game off before termination
+    ever exercises the agent-list-emptying path.  The C fast path serves
+    this in ~2.5 s."""
     from pikazoo_tpu.native import native_available
     if not native_available():
         pytest.skip("g++ toolchain unavailable")
     env = compat.env(seed=0, backend="native")
-    parallel_api_test(env, num_cycles=100_000)
+    parallel_api_test(env, num_cycles=1_000_000)
 
 
 def test_compat_render_rgb_array_native_backend():
