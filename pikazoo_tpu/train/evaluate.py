@@ -143,3 +143,43 @@ def evaluate_head_to_head(network_a, params_a, network_b, params_b, *,
         )
 
     return jax.jit(run)(jax.random.key(seed))
+
+
+def bradley_terry_elo(wins, games, anchor: int = -1,
+                      anchor_elo: float = 1000.0, prior_games: float = 1.0,
+                      iters: int = 500, tol: float = 1e-10):
+    """Fit Bradley-Terry strengths to a league result matrix, as Elo.
+
+    ``wins[i][j]`` = games i beat j, ``games[i][j]`` = games i played j
+    (symmetric).  Standard MM fixed point (Hunter 2004) with a light prior
+    (``prior_games`` pseudo-games at 50% vs the field mean) so undefeated /
+    never-winning members stay finite.  Returns a numpy array of Elo
+    ratings (400*log10 scale) with member ``anchor`` pinned at
+    ``anchor_elo`` — e.g. the rule AI as a fixed yardstick, so ratings are
+    comparable across leagues that share the anchor.  The building block
+    behind ``tools/selfplay_league.py`` / ``artifacts/selfplay_league.json``.
+    """
+    import numpy as np
+
+    wins = np.asarray(wins, dtype=np.float64)
+    games = np.asarray(games, dtype=np.float64)
+    n = wins.shape[0]
+    assert wins.shape == (n, n) and games.shape == (n, n)
+    p = np.ones(n)
+    half = prior_games / 2.0
+    for _ in range(iters):
+        p_new = np.empty(n)
+        mean = p.mean()
+        for i in range(n):
+            num = wins[i].sum() + half
+            den = prior_games / (p[i] + mean)
+            for j in range(n):
+                if j != i and games[i, j] > 0:
+                    den += games[i, j] / (p[i] + p[j])
+            p_new[i] = num / den
+        p_new /= np.exp(np.mean(np.log(p_new)))  # fix the scale each sweep
+        done = np.max(np.abs(np.log(p_new) - np.log(p))) < tol
+        p = p_new
+        if done:
+            break
+    return anchor_elo + 400.0 * (np.log10(p) - np.log10(p[anchor]))

@@ -129,6 +129,18 @@ def main(argv=None):
         # env-steps/s), and it doubles as the true completion fence
         # (block_until_ready is unreliable on remote backends).
         metrics = jax.device_get(metrics)
+        if update == start_update:
+            # Resolved dispatch provenance, once per run, after the first
+            # update has traced everything: which update kernel / quant
+            # mode / landing predictor actually served (the bench carries
+            # the same field — silent fallbacks must be visible in the
+            # artifact, not just in stderr warnings at run time).
+            from pikazoo_tpu.core.predict import dispatch_provenance
+            logger.header({"provenance": {
+                **train_step.provenance,
+                "predictor": dispatch_provenance(),
+                "devices": len(jax.devices()),
+            }})
         meter.tick()
         logger.log(update, {
             "loss": metrics.total_loss,

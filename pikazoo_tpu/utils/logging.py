@@ -25,6 +25,14 @@ class MetricsLogger:
     def add_sink(self, sink: Callable[[int, Dict[str, float]], None]) -> None:
         self._sinks.append(sink)
 
+    def header(self, record: Dict) -> None:
+        """Write one raw (non-scalar) JSONL record — e.g. resolved dispatch
+        provenance — so a training artifact says which kernels served it."""
+        if self._file is not None:
+            self._file.write(json.dumps(record) + "\n")
+            self._file.flush()
+        print(" ".join(f"{k}={v}" for k, v in record.items()), flush=True)
+
     def log(self, step: int, metrics: Dict) -> None:
         scalars = {k: float(np.asarray(v)) for k, v in metrics.items()}
         scalars["wall_s"] = round(time.time() - self._t0, 3)

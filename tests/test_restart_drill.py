@@ -75,6 +75,7 @@ def test_kill_and_resume_via_cli(tmp_path):
     # The metrics of the second run continue AFTER the resume point.
     lines = [json.loads(l) for l in
              (tmp_path / "metrics_3.jsonl").read_text().splitlines()]
+    lines = [l for l in lines if "step" in l]  # skip provenance headers
     updates_logged = [l["step"] for l in lines]
     assert min(updates_logged) == resumed_at
     assert len(updates_logged) == 3

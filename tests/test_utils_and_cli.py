@@ -46,7 +46,11 @@ def test_train_cli_smoke(tmp_path):
         "--simplify-actions", "--metrics", metrics_path,
     ])
     lines = [json.loads(line) for line in open(metrics_path)]
-    assert len(lines) == 2
+    # One provenance header (resolved update-kernel / predictor dispatch)
+    # followed by one metrics record per update.
+    assert len(lines) == 3
+    assert lines[0]["provenance"]["fused_update"] in ("fm", "row", "xla")
+    assert "predictor" in lines[0]["provenance"]
     assert np.isfinite(lines[-1]["loss"])
 
 
