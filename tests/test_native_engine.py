@@ -5,6 +5,8 @@ divergence over thousands of random frames is a logic bug in one of them —
 this is the scale-out complement to the recorded-reference parity suite.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -327,3 +329,52 @@ def test_post_termination_rewards_match_jax():
                 terminated = True
                 post = 0
     assert terminated and post >= 10
+
+
+def test_compile_atomic_success_and_failure(tmp_path):
+    """The atomic builder: success lands the artifact via rename (no torn
+    intermediate at the final path), failure returns the captured error and
+    leaves no temp droppings."""
+    from pikazoo_tpu.native.engine import _compile_atomic
+
+    out = str(tmp_path / "x.so")
+
+    def good(dest):
+        yield ["sh", "-c", f"echo hi > {dest}"]
+
+    assert _compile_atomic(good, out) is None
+    assert open(out).read() == "hi\n"
+
+    out2 = str(tmp_path / "y.so")
+
+    def bad(dest):
+        yield ["sh", "-c", "echo boom >&2; exit 1"]
+
+    err = _compile_atomic(bad, out2)
+    assert err is not None and "boom" in err
+    assert not os.path.exists(out2)
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+
+
+def test_corrupt_cached_so_self_heals(tmp_path, monkeypatch):
+    """A corrupt cached engine .so (the round-4 silent-degradation class)
+    must be rebuilt from source on load failure, not poison the process."""
+    import importlib
+
+    from pikazoo_tpu.native import engine as ne
+
+    if not ne.native_available():
+        pytest.skip("g++ toolchain unavailable")
+    monkeypatch.setenv("PIKAZOO_NATIVE_CACHE", str(tmp_path))
+    with open(tmp_path / "pika_engine.so", "wb") as f:
+        f.write(b"\x7fELF this is not a real shared object")
+    # Fresh module state in an isolated cache dir: the corrupt file mtime
+    # is NEWER than the source, so the stale-check alone would load it.
+    ne2 = importlib.reload(ne)
+    try:
+        assert ne2.native_available(), ne2.build_errors()
+        assert ne2.build_errors()["engine"] is None
+        assert os.path.getsize(tmp_path / "pika_engine.so") > 1000
+    finally:
+        monkeypatch.undo()
+        importlib.reload(ne)
