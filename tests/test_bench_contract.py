@@ -74,6 +74,40 @@ def test_direct_config_emits_single_json_line():
     assert parsed["value"] > 0
 
 
+def test_batch1_rung_carries_engine_provenance():
+    """Config 1's JSON must say WHICH engine served (round-5 contract: a
+    silent fallback can never again ship an unattributable number) — and
+    with the toolchain present that engine must be the C fast path."""
+    from pikazoo_tpu.native import engine as ne
+
+    if not ne.fastpath_available():
+        pytest.skip("toolchain unavailable")
+    env = dict(os.environ, PIKAZOO_FORCE_CPU="1")
+    out = subprocess.run(
+        [sys.executable, _BENCH, "--config", "batch1",
+         "--steps", "200", "--iters", "1"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    parsed = json.loads(lines[-1])
+    assert parsed["provenance"]["engine"] == "fastpath-c"
+
+
+def test_batch1_rung_fails_loudly_without_fastpath():
+    """When the C fast path cannot build, the rung must ERROR (not bench
+    the Python fallback unlabeled) unless explicitly allowed — and the
+    allowed fallback must be labeled with the build error."""
+    env = dict(os.environ, PIKAZOO_FORCE_CPU="1",
+               PIKAZOO_NATIVE_CACHE="/tmp/pikazoo_no_toolchain_test",
+               PATH="/nonexistent")  # no gcc/g++ resolvable
+    out = subprocess.run(
+        [sys.executable, _BENCH, "--config", "batch1",
+         "--steps", "50", "--iters", "1"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert out.returncode != 0
+    assert "fast path failed to build" in (out.stderr + out.stdout)
+
+
 def test_refresh_baselines_updates_denominators(monkeypatch):
     """vs_baseline must divide by a same-run reference measurement when the
     reference repo is present, and propagate to subprocess rungs via env."""
