@@ -114,3 +114,40 @@ def test_selfplay_artifact_strength():
                               greedy=False, seed=32)
     assert int(h.games) >= 8
     assert float(h.win_rate) > 0.9, float(h.win_rate)
+
+
+XL = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "selfplay_policy_xl")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(XL),
+                    reason="XL self-play artifact not present")
+def test_selfplay_xl_artifact_strength():
+    """The round-5 flagship: 2000 updates x 65536 envs (16.8B env steps)
+    of pure symmetric self-play via the production CLI.  Hardware eval
+    2026-08-20: a PERFECT 2090/2090 vs the rule AI, 1855 Elo in the
+    anchored league (artifacts/selfplay_league.json), and it beats the
+    previous committed artifact 92/8 head-to-head."""
+    pytest.importorskip("orbax.checkpoint")
+    from pikazoo_tpu.train.evaluate import evaluate_head_to_head
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    cfg = PPOConfig(num_envs=8192, rollout_length=128)
+    init_fn, _, network = make_ppo_trainer(env, cfg)
+    fresh = init_fn(jax.random.key(0))
+    runner = ckpt.restore(XL, fresh)
+
+    r = evaluate_vs_computer(network, runner.params, num_envs=16,
+                             max_frames=8000, winning_score=5,
+                             greedy=False, seed=33)
+    assert int(r.games) >= 8
+    assert float(r.win_rate) > 0.9, float(r.win_rate)
+
+    if os.path.isdir(SELFPLAY):
+        prev = ckpt.restore(SELFPLAY, fresh)
+        m = evaluate_head_to_head(network, runner.params, network,
+                                  prev.params, num_envs=16, max_frames=8000,
+                                  winning_score=3, greedy=False, seed=34)
+        assert int(m.games) >= 20
+        assert float(m.win_rate) > 0.6, float(m.win_rate)

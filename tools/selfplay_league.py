@@ -64,6 +64,14 @@ if os.path.isdir(SELFPLAY_ARTIFACT):
     members.append(("committed_selfplay_policy",
                     jax.device_get(restored.params)))
 
+# Extra league members: EXTRA_CKPTS="name=/path/to/ckpt,name2=/path2"
+# (default-architecture checkpoints, e.g. a CLI training run's
+# checkpoint-dir/latest).
+for spec in filter(None, os.environ.get("EXTRA_CKPTS", "").split(",")):
+    name, _, path = spec.partition("=")
+    restored = ckpt.restore(path, init_fn(jax.random.key(0)))
+    members.append((name.strip(), jax.device_get(restored.params)))
+
 names = [n for n, _ in members] + ["rule-ai"]
 n = len(names)
 wins = np.zeros((n, n))    # wins[i][j] = games i beat j
