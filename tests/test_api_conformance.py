@@ -151,3 +151,19 @@ def test_compat_wrappers_over_native_backend():
         np.testing.assert_array_equal(o1a, o1b)
         np.testing.assert_array_equal(o2a, o2b)
         assert ra == rb and ta == tb
+
+
+def test_aec_conversion_conformance():
+    """PettingZoo's AEC API via the stock parallel_to_aec conversion: the
+    adapter satisfies the AEC contract too (the reference ships only the
+    ParallelEnv surface; AEC users reach it exactly this way)."""
+    from pettingzoo.test import api_test
+    from pettingzoo.utils.conversions import parallel_to_aec
+
+    for backend in ("jax", "native"):
+        if backend == "native":
+            from pikazoo_tpu.native import native_available
+            if not native_available():
+                continue
+        aec = parallel_to_aec(compat.env(seed=0, backend=backend))
+        api_test(aec, num_cycles=1000)
