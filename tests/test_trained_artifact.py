@@ -151,3 +151,42 @@ def test_selfplay_xl_artifact_strength():
                                   winning_score=3, greedy=False, seed=34)
         assert int(m.games) >= 20
         assert float(m.win_rate) > 0.6, float(m.win_rate)
+
+
+XXL = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "selfplay_policy_xxl")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not (os.path.isdir(XXL) and os.path.isdir(XL)),
+                    reason="XXL artifact not present")
+def test_selfplay_xxl_artifact_strength():
+    """The resume-trained flagship: XL's checkpoint continued for another
+    2000 updates through the CLI resume path (4000 total = 33.6B env
+    steps).  Hardware eval 2026-08-20: perfect 3521/3521 vs the rule AI,
+    beats XL ~80% over 3.5k games (both seat orders), 2017 league Elo —
+    the league separates policies the saturated vs-AI metric cannot."""
+    pytest.importorskip("orbax.checkpoint")
+    from pikazoo_tpu.train.evaluate import evaluate_head_to_head
+
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    cfg = PPOConfig(num_envs=8192, rollout_length=128)
+    init_fn, _, network = make_ppo_trainer(env, cfg)
+    fresh = init_fn(jax.random.key(0))
+    runner = ckpt.restore(XXL, fresh)
+    assert int(runner.update_index) == 4000
+
+    r = evaluate_vs_computer(network, runner.params, num_envs=16,
+                             max_frames=8000, winning_score=5,
+                             greedy=False, seed=41)
+    assert int(r.games) >= 8
+    assert float(r.win_rate) > 0.9, float(r.win_rate)
+
+    xl = ckpt.restore(XL, fresh)
+    # Near-peer games run long rallies (~2k frames/point), so the window
+    # must be generous for enough games to finish.
+    m = evaluate_head_to_head(network, runner.params, network, xl.params,
+                              num_envs=128, max_frames=24000,
+                              winning_score=3, greedy=False, seed=42)
+    assert int(m.games) >= 15
+    assert float(m.win_rate) > 0.55, float(m.win_rate)
