@@ -124,3 +124,25 @@ def test_scaling_harness_emits_table():
     assert [r["procs"] for r in rows] == [1, 2]
     assert rows[1]["devices"] == 8 and rows[1]["steps_per_s"] > 0
     assert "efficiency" in out.stdout
+
+
+@pytest.mark.slow
+def test_multihost_soak_short():
+    """Sustained distributed training (not just one step): 40 back-to-back
+    sharded train steps across 2 real jax.distributed processes, finite
+    losses throughout and bit-identical replicated losses at every
+    checkpoint (the full artifacts ran 500x2p and 150x4p —
+    tools/multihost_soak.py)."""
+    import json
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(_TOOLS, "multihost_soak.py"),
+         "--procs", "2", "--updates", "40", "--envs-per-proc", "128",
+         "--out", "/tmp/pikazoo_soak_test.json"],
+        timeout=420, capture_output=True, text=True, env=env)
+    assert out.returncode == 0, (out.stdout + out.stderr)[-3000:]
+    rec = json.loads(open("/tmp/pikazoo_soak_test.json").read())
+    assert rec["loss_identical_across_processes"] is True
+    assert rec["updates"] == 40 and rec["procs"] == 2
