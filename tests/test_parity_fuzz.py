@@ -21,7 +21,10 @@ pytestmark = pytest.mark.skipif(
 
 SEATS = [(False, False), (True, False), (False, True), (True, True)]
 SERVES = ["winner", "alternate", "random"]
-SEEDS_PER_CONFIG = 4
+# Default 4 seeds/config = 48 games (~2 min).  PIKAZOO_FUZZ_SEEDS widens the
+# corpus for on-demand deep soaks (e.g. 16 -> 192 games; round-5 confidence
+# pass ran 12 -> 144 games, all bitwise-equal incl. draw counters).
+SEEDS_PER_CONFIG = int(__import__("os").environ.get("PIKAZOO_FUZZ_SEEDS", 4))
 
 
 def random_actions(t, rng):
