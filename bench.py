@@ -134,7 +134,7 @@ HEADLINE_METRIC = "env_steps_per_s_aggregate_1chip"
 # VPU's speed of light), so it would only waste driver budget.
 _DEFAULT_RUNGS = [
     dict(config="batch", batch=16_384, steps=200, iters=2),
-    dict(config="batch", batch=262_144, steps=1000, iters=3),
+    dict(config="batch", batch=262_144, steps=1000, iters=6),
 ]
 if os.environ.get("PIKAZOO_BENCH_FUSED", "0") == "1":
     _DEFAULT_RUNGS.append(dict(config="fused", batch=262_144, steps=1000,
