@@ -190,3 +190,31 @@ def test_selfplay_xxl_artifact_strength():
                               winning_score=3, greedy=False, seed=42)
     assert int(m.games) >= 15
     assert float(m.win_rate) > 0.55, float(m.win_rate)
+
+
+P8K = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "selfplay_policy_8000")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(P8K),
+                    reason="8000-update artifact not present")
+def test_selfplay_8000_artifact_strength():
+    """The 8000-update run (67.1B env steps; XXL resumed again through the
+    CLI).  Field-wide Bradley-Terry rates it highest (2077 league Elo —
+    it crushes every weaker member harder than XXL does), but its direct
+    pairing with XXL is SEAT-SPLIT: the seat-2 defender won BOTH seat
+    orders of the 40k-frame hardware eval (83%/60%) — self-play
+    non-transitivity that only the round-robin league surfaces, and why
+    the league (not 'latest checkpoint') picks flagships."""
+    pytest.importorskip("orbax.checkpoint")
+    env = PikaZoo(EnvConfig(auto_reset=True))
+    cfg = PPOConfig(num_envs=8192, rollout_length=128)
+    init_fn, _, network = make_ppo_trainer(env, cfg)
+    runner = ckpt.restore(P8K, init_fn(jax.random.key(0)))
+    assert int(runner.update_index) == 8000
+    r = evaluate_vs_computer(network, runner.params, num_envs=16,
+                             max_frames=8000, winning_score=5,
+                             greedy=False, seed=51)
+    assert int(r.games) >= 8
+    assert float(r.win_rate) > 0.9, float(r.win_rate)
