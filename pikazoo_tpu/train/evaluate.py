@@ -100,6 +100,14 @@ def evaluate_head_to_head(network_a, params_a, network_b, params_b, *,
     ``tests/test_trained_artifact.py``).  Compare seat specialists
     same-seat (two calls with seats swapped); symmetric self-play
     checkpoints (``learner_seats="both"``) compare directly.
+
+    Near-peer note (round 5, hardware-measured): games between two strong
+    policies average ~2k frames per point, so ``max_frames``/``num_envs``
+    must be generous for enough games to finish (128 envs x 24k frames ->
+    ~20 games at winning_score=3); and at peak level the matchup itself
+    can be seat-sensitive (between the 4000- and 8000-update flagships the
+    seat-2 defender won BOTH seat orders, 83%/60%) — always evaluate both
+    orders before calling a winner.
     """
     cfg = EnvConfig(winning_score=winning_score, auto_reset=True)
     env = PikaZoo(cfg)
