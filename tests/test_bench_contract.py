@@ -153,3 +153,47 @@ def test_clear_stale_canary_fail(tmp_path, monkeypatch):
 
     cache.unlink()
     bench._clear_stale_canary_fail()  # absent: no-op
+
+
+def test_orchestrate_all_attempt_cap_and_artifact(tmp_path, monkeypatch):
+    """--all control flow with _attempt stubbed: rungs that succeed land in
+    the artifact in plan order with their config tag; a rung that fails
+    DETERMINISTICALLY is retried at most PIKAZOO_BENCH_MAX_ATTEMPTS times
+    (round-4 advisor: unbounded retries could eat the whole budget); the
+    final stdout line re-emits the headline."""
+    import importlib
+
+    monkeypatch.setenv("PIKAZOO_FORCE_CPU", "1")
+    monkeypatch.setenv("PIKAZOO_BENCH_MAX_ATTEMPTS", "2")
+    import bench as bench_mod
+    bench = importlib.reload(bench_mod)
+    monkeypatch.setattr(bench, "refresh_baselines", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "_await_device_health", lambda *a, **k: True)
+    monkeypatch.chdir(tmp_path)
+
+    attempts = {}
+
+    def fake_attempt(rung, iters):
+        cfg = rung["config"]
+        attempts[cfg] = attempts.get(cfg, 0) + 1
+        if cfg == "ppo":
+            return None  # deterministic failure
+        return {"metric": f"m_{cfg}" if cfg != "batch"
+                else bench.HEADLINE_METRIC,
+                "value": {"batch": 100, "computer": 50, "wrappers": 70,
+                          "batch1": 1}[cfg],
+                "unit": "env-steps/s", "vs_baseline": 1.0,
+                "provenance": {"engine": "stub"}}
+
+    monkeypatch.setattr(bench, "_attempt", fake_attempt)
+
+    import argparse
+    import json as _json
+    bench._orchestrate_all(argparse.Namespace(iters=None))
+
+    assert attempts["ppo"] == 2          # capped, not budget-unbounded
+    assert attempts["batch"] == 1
+    rows = _json.load(open(tmp_path / "artifacts" / "bench_all.json"))
+    assert [r["config"] for r in rows] == ["batch", "computer",
+                                           "wrappers", "batch1"]
+    assert rows[0]["provenance"] == {"engine": "stub"}
