@@ -86,16 +86,10 @@ def candidate_lanes(x, y, vx, vy):
     return (cx.reshape(-1), cy.reshape(-1), cvx.reshape(-1), cvy.reshape(-1))
 
 
-def eta_key(y, vx, vy):
-    """Closed-form ETA estimate (f32): iterations until y exceeds 253 on
-    the free-flight parabola y_t = y + t*vy + t(t-1)/2.  Wall bounces don't
-    change y-dynamics; ceiling/net events make real ETA differ for a
-    minority of lanes — it is a sort KEY, not a result.  vx == 0 encodes
-    finished/never-live (0 iterations): key -1 sorts those first."""
-    yf, vyf = y.astype(f32), vy.astype(f32)
-    disc = jnp.maximum(vyf * vyf + 2.0 * (253.0 - yf), 0.0)
-    key = -vyf + jnp.sqrt(disc)
-    return jnp.where(vx == 0, jnp.float32(-1.0), key)
+# (The end-to-end in-graph sorted variant — eta key + lax.sort + kernel +
+# scatter unsort — is NOT raced as its own variant: its cost is exactly
+# D's kernel time plus the primitive costs STAGE=prim measures directly,
+# and those primitives alone exceed the whole frame budget.)
 
 
 # ------------------------------------------------------------ flat kernel --
@@ -131,27 +125,6 @@ def sims_flat_natural(x, y, vx, vy):
     expected = flat_sims(x, y, vx, vy, full_rule=True)
     cx, cy, cvx, cvy = candidate_lanes(x, y, vx, vy)
     cand = flat_sims(cx, cy, cvx, cvy, full_rule=False)
-    return expected, jnp.moveaxis(cand.reshape(6, B), 0, 1)
-
-
-def _sorted_sims(x, y, vx, vy, full_rule, presorted=False):
-    n = x.shape[0]
-    if presorted:
-        return flat_sims(x, y, vx, vy, full_rule=full_rule)
-    key = eta_key(y, vx, vy)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    _, sx, sy, svx, svy, sidx = jax.lax.sort(
-        (key, x, y, vx, vy, idx), num_keys=1)
-    res = flat_sims(sx, sy, svx, svy, full_rule=full_rule)
-    # Unsort via scatter (unique indices).
-    return jnp.zeros(n, jnp.int32).at[sidx].set(
-        res, unique_indices=True, mode="promise_in_bounds")
-
-
-def sims_eta_sorted(x, y, vx, vy, presorted=False):
-    expected = _sorted_sims(x, y, vx, vy, True, presorted)
-    cx, cy, cvx, cvy = candidate_lanes(x, y, vx, vy)
-    cand = _sorted_sims(cx, cy, cvx, cvy, False, presorted)
     return expected, jnp.moveaxis(cand.reshape(6, B), 0, 1)
 
 
