@@ -3,9 +3,14 @@
 
 Default run measures BASELINE config 4 (vectorized self-play with auto-reset,
 random 18-way actions, single chip) and prints ONE JSON line
-``{"metric", "value", "unit", "vs_baseline"}`` where ``vs_baseline`` is the
-multiple of the reference implementation's measured single-env CPU throughput
-on this host (53,237 steps/s human / 19,742 steps/s AI — see BASELINE.md).
+``{"metric", "value", "unit", "vs_baseline"[, "provenance"]}`` where
+``vs_baseline`` divides by the reference implementation's SAME-RUN measured
+single-env CPU throughput (re-measured at start; the recorded round-1
+values are only the no-reference fallback — see BASELINE.md), values are
+the BEST of the rung's timed windows (min-of-N; this tunnel's sustained
+rate swings 1.6x same-day), and ``provenance`` records which
+engine/kernel/predictor actually served (configs 1/2/5) so a silent
+fallback can never ship an unattributable number.
 
 Driver-safety contract (this host's remote-TPU tunnel can wedge a compile for
 ~45 min, and the driver runs ``python bench.py`` under a hard timeout):
